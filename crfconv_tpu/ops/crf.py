@@ -1,0 +1,147 @@
+"""Continuous / discrete Gaussian CRF mean-field math on dense neighborhoods.
+
+The continuous CRF decoder replaces plain upsampling in the segmentation
+U-Net: given unary features z (from the coarse scale) and a Gaussian
+similarity s over K spatial neighbors, it runs the closed-form mean-field
+iteration
+
+    x <- ( z + (S x) C ) (I + C)^{-1}
+
+with a learned PSD compatibility C = cᵀc.  This is the reference math at
+models/continuous_crf_conv_big.py:63-72 (dense) and
+models/continuous_crf_conv.py:59-67 (edge-list), re-expressed with
+static-shape gathers so the whole loop is one fused XLA/Pallas region.
+
+(I + C)^{-1} is loop-invariant and tiny (H ≤ 128): it is computed once
+per call, outside the iteration (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from crfconv_tpu.ops.neighbors import gather_neighbors, masked_softmax
+
+
+def gaussian_similarity(
+    y: jnp.ndarray,
+    neighbor_idx: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-neighbor Gaussian affinity softmax_K(-‖y_i - y_j‖²).
+
+    Reference: models/continuous_crf_conv_big.py:49-54.
+
+    Args:
+      y:            [B, N, H] pairwise (guidance) features.
+      neighbor_idx: [B, N, K] int32 neighbor indices (self already removed).
+      mask:         optional [B, N, K] bool neighbor validity.
+
+    Returns:
+      s: [B, N, K] affinities, each row summing to 1 (or 0 if fully masked).
+    """
+    neighbors = gather_neighbors(y, neighbor_idx)            # [B, N, K, H]
+    d = y[:, :, None, :] - neighbors                          # [B, N, K, H]
+    d = jnp.sum(d * d, axis=-1)                               # [B, N, K]
+    return masked_softmax(-d, mask, axis=2)
+
+
+def _spd_inverse(m: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a small SPD matrix via Cholesky (f32, MXU-irrelevant)."""
+    m = m.astype(jnp.float32)
+    chol = jax.lax.linalg.cholesky(m)
+    eye = jnp.eye(m.shape[-1], dtype=jnp.float32)
+    inv_l = jax.lax.linalg.triangular_solve(
+        chol, eye, left_side=True, lower=True
+    )
+    return jnp.dot(inv_l.T, inv_l, precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def crf_mean_field(
+    z: jnp.ndarray,
+    s: jnp.ndarray,
+    neighbor_idx: jnp.ndarray,
+    c: jnp.ndarray,
+    steps: int = 1,
+) -> jnp.ndarray:
+    """Run ``steps`` mean-field iterations of the continuous Gaussian CRF.
+
+    Args:
+      z:            [B, N, H] unary features (initial state).
+      s:            [B, N, K] neighbor affinities (rows sum to ≤ 1).
+      neighbor_idx: [B, N, K] int32 neighbor indices.
+      c:            [H, H] unconstrained compatibility parameter; the PSD
+                    compatibility used is C = cᵀ c (reference
+                    continuous_crf_conv_big.py:66).
+      steps:        number of mean-field iterations (static).
+
+    Returns:
+      x: [B, N, H] refined features.
+    """
+    h = z.shape[-1]
+    C = jnp.dot(c.T, c, precision=jax.lax.Precision.HIGHEST)
+    inv = _spd_inverse(jnp.eye(h, dtype=jnp.float32) + C)
+    C = C.astype(z.dtype)
+    inv = inv.astype(z.dtype)
+
+    # The compatibility matmuls are [*, H]·[H, H] with H ≤ 128 — negligible
+    # FLOPs, so run them at full f32 precision (the platform default would
+    # drop to bf16 MXU passes and break parity with the reference).
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(x, _):
+        msg = gather_neighbors(x, neighbor_idx)               # [B, N, K, H]
+        msg = jnp.einsum("bnk,bnkh->bnh", s, msg, precision=hp)
+        x = z + jnp.dot(msg, C, precision=hp)                 # compatibility
+        x = jnp.dot(x, inv, precision=hp)                     # normalization
+        return x, None
+
+    x, _ = jax.lax.scan(body, z, None, length=steps)
+    return x
+
+
+def discrete_crf_update(
+    p: jnp.ndarray,
+    unary: jnp.ndarray,
+    w: jnp.ndarray,
+    neighbor_idx: jnp.ndarray,
+    compat: jnp.ndarray,
+    steps: int = 5,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Discrete CRF-as-RNN mean field over class probabilities.
+
+    Reference math (models/discrete_crf_conv.py:57-62):
+        q <- softmax( -u - (Σ_j w_ij q_j) C )
+    with u = -log p and edge weights w from learned Gaussian kernels.
+
+    Args:
+      p:            [B, N, L] initial class probabilities.
+      unary:        [B, N, L] unary potentials u = -log p.
+      w:            [B, N, K] edge weights (Gaussian kernel mixture).
+      neighbor_idx: [B, N, K] int32.
+      compat:       [L, L] label compatibility matrix.
+      steps:        mean-field iterations.
+      mask:         optional [B, N, K] neighbor validity.
+
+    Returns:
+      q: [B, N, L] refined probabilities.
+    """
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(q, _):
+        msg = gather_neighbors(q, neighbor_idx)               # [B, N, K, L]
+        msg = jnp.einsum("bnk,bnkl->bnl", w, msg, precision=hp)
+        q = jax.nn.softmax(-unary - jnp.dot(msg, compat, precision=hp), axis=-1)
+        return q, None
+
+    q, _ = jax.lax.scan(body, p, None, length=steps)
+    return q

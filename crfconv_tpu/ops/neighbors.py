@@ -1,0 +1,150 @@
+"""Dense neighbor-index primitives.
+
+All graph structure in this framework is a padded int32 index tensor, so
+every op here is a static-shape gather / reduction that XLA can tile for
+the TPU.  These replace the reference's torch.gather helpers
+(models/point_conv_big.py:25-35, models/continuous_crf_conv_big.py:38-47)
+and its dynamic torch_geometric/torch_scatter graph ops
+(models/point_conv.py:140-195) — the latter by construction: indices are
+precomputed host-side, never on the device hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-point neighbor features.
+
+    Args:
+      x:   [B, N, F] point features.
+      idx: [B, M, K] int32 indices into the N axis.
+
+    Returns:
+      [B, M, K, F] neighbor features.
+    """
+    B, M, K = idx.shape
+    F = x.shape[-1]
+    flat = jnp.take_along_axis(
+        x, idx.reshape(B, M * K, 1), axis=1, mode="promise_in_bounds"
+    )
+    return flat.reshape(B, M, K, F)
+
+
+def upsample_nearest(x: jnp.ndarray, up_idx: jnp.ndarray) -> jnp.ndarray:
+    """1-NN upsample: copy each coarse feature to its fine-scale points.
+
+    Args:
+      x:      [B, S, F] coarse features.
+      up_idx: [B, N, 1] int32 index of the nearest coarse point.
+
+    Returns:
+      [B, N, F].
+    """
+    return jnp.take_along_axis(x, up_idx, axis=1, mode="promise_in_bounds")
+
+
+def max_pool_neighbors(
+    x: jnp.ndarray, idx: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Strided max-pool: max over the K neighbors of each output point.
+
+    Mirrors the reference's strided-residual pooling
+    (models/point_conv_big.py:74-77).
+
+    Args:
+      x:    [B, N, F] fine-scale features.
+      idx:  [B, S, K] neighbor indices into N for each coarse point.
+      mask: optional [B, S, K] bool validity of each neighbor slot.
+
+    Returns:
+      [B, S, F].
+    """
+    n = gather_neighbors(x, idx)  # [B, S, K, F]
+    if mask is not None:
+        neg = jnp.finfo(x.dtype).min
+        n = jnp.where(mask[..., None], n, neg)
+    return jnp.max(n, axis=2)
+
+
+def masked_softmax(
+    logits: jnp.ndarray, mask: Optional[jnp.ndarray] = None, axis: int = -1
+) -> jnp.ndarray:
+    """Numerically safe softmax with an optional validity mask.
+
+    Masked slots get probability exactly 0; if an entire row is masked
+    the result is all zeros (not NaN), which composes safely with
+    downstream weighted sums.
+    """
+    if mask is None:
+        return jax.nn.softmax(logits, axis=axis)
+    neg = jnp.finfo(logits.dtype).min
+    z = jnp.where(mask, logits, neg)
+    z = z - jax.lax.stop_gradient(jnp.max(z, axis=axis, keepdims=True))
+    e = jnp.where(mask, jnp.exp(z), 0.0)
+    denom = jnp.sum(e, axis=axis, keepdims=True)
+    return e / jnp.maximum(denom, jnp.finfo(logits.dtype).tiny)
+
+
+def remove_self_loop(neighbor_idx: jnp.ndarray) -> jnp.ndarray:
+    """Drop neighbor column 0 (the query point itself).
+
+    The host pipeline emits self-inclusive kNN (column 0 = self, as the
+    reference's nanoflann kNN does); the CRF excludes the self edge
+    (reference: models/continuous_crf_conv_big.py:45-47).
+    """
+    return neighbor_idx[:, :, 1:]
+
+
+def knn_bruteforce(
+    support: jnp.ndarray,
+    query: jnp.ndarray,
+    k: int,
+    *,
+    tile: int = 2048,
+) -> jnp.ndarray:
+    """Exact batched kNN on device via tiled brute force.
+
+    A TPU-resident counterpart to the host C++ KD-tree search — useful
+    for building pyramids of modest N (≤ ~16k) entirely on device, and
+    as the ground truth in tests.  Distances are computed tile-by-tile
+    over the query axis so the [N, N] matrix never materializes.
+
+    Args:
+      support: [B, N, 3] points searched over.
+      query:   [B, M, 3] query points.
+      k:       neighbor count (k ≤ N).
+
+    Returns:
+      [B, M, k] int32 indices, sorted by ascending distance (ties broken
+      by index, so column 0 is the query point itself when query==support).
+    """
+    B, N, _ = support.shape
+    M = query.shape[1]
+    tile = min(tile, M)
+    # Pad M to a multiple of tile.
+    pad = (-M) % tile
+    q = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
+    nt = q.shape[1] // tile
+    q = q.reshape(B, nt, tile, 3)
+    s_sq = jnp.sum(support * support, axis=-1)  # [B, N]
+
+    def per_tile(qt, sup, ssq):
+        # qt [tile,3], sup [N,3] -> [tile,k].  The cross term must run at
+        # full f32: the platform-default bf16 MXU pass perturbs the
+        # self-distance away from 0 and breaks the col-0 == self invariant.
+        cross = jnp.dot(qt, sup.T, precision=jax.lax.Precision.HIGHEST)
+        d = jnp.sum(qt * qt, axis=-1, keepdims=True) - 2.0 * cross + ssq[None, :]
+        _, idx = jax.lax.top_k(-d, k)
+        return idx.astype(jnp.int32)
+
+    def per_batch(qb, sup, ssq):
+        return jax.lax.map(lambda qt: per_tile(qt, sup, ssq), qb)
+
+    idx = jax.vmap(per_batch)(q, support, s_sq)  # [B, nt, tile, k]
+    idx = idx.reshape(B, nt * tile, k)[:, :M]
+    return idx
