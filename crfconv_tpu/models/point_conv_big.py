@@ -1,0 +1,213 @@
+"""Dense-batched point convolution U-Net — the flagship model family.
+
+TPU-native re-design of the reference "big" family
+(models/point_conv_big.py): a 5-stage encoder of bottleneck residual
+point-conv blocks over a precomputed ¼-rate index pyramid, a decoder of
+continuous-CRF (or plain upsampling) blocks, and a dropout-MLP
+classifier.  Every op is a static-shape gather or dense matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from crfconv_tpu.data.batch import PointBatch
+from crfconv_tpu.models.common import MLP, leaky_relu001, leaky_relu01
+from crfconv_tpu.models.crf_conv import ContinuousCRFConv
+from crfconv_tpu.ops.neighbors import gather_neighbors, max_pool_neighbors, upsample_nearest
+
+
+class PointConv(nn.Module):
+    """Continuous point convolution with MLP-generated neighbor weights.
+
+    For each output point, gathers K neighbor features and combines them
+    with depthwise weights produced by an MLP on the relative positions
+    ``pos_i − pos_j``.  Symmetric (same-scale) when ``sub_pos is None``,
+    strided/bipartite otherwise.  Reference: models/point_conv_big.py:8-58.
+    """
+
+    d_model: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                 # [B, N, F_in] fine-scale features
+        pos: jnp.ndarray,               # [B, N, 3] fine-scale positions
+        neighbor_idx: jnp.ndarray,      # [B, M, K] indices into N
+        sub_pos: Optional[jnp.ndarray] = None,  # [B, M, 3] coarse positions
+        train: bool = True,
+    ) -> jnp.ndarray:
+        neighbors = gather_neighbors(pos, neighbor_idx)       # [B, M, K, 3]
+        center = pos if sub_pos is None else sub_pos
+        rel = center[:, :, None, :] - neighbors               # [B, M, K, 3]
+        w = MLP(self.d_model, activation=leaky_relu01, name="weight_nn_0")(
+            rel, train=train
+        )
+        w = MLP(self.d_model, activation=None, name="weight_nn_1")(
+            w, train=train
+        )                                                     # [B, M, K, d]
+        xn = gather_neighbors(x, neighbor_idx)                # [B, M, K, d]
+        return jnp.sum(w * xn, axis=2)                        # [B, M, d]
+
+
+class ResNetBBlock(nn.Module):
+    """Bottleneck residual block: lin_in → PointConv → lin_out + shortcut.
+
+    The strided variant max-pools the residual over ``sub_idx``.
+    Reference: models/point_conv_big.py:61-88.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pos: jnp.ndarray,
+        neighbor_idx: jnp.ndarray,
+        sub_pos: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        hidden = self.features // 4
+        in_features = x.shape[-1]
+        if in_features != self.features:
+            residual = MLP(self.features, activation=None, name="shortcut")(
+                x, train=train
+            )
+        else:
+            residual = x
+        if sub_pos is not None:
+            residual = max_pool_neighbors(residual, neighbor_idx)
+
+        h = MLP(hidden, activation=leaky_relu01, name="lin_in")(x, train=train)
+        h = PointConv(hidden, name="point_conv")(
+            h, pos, neighbor_idx, sub_pos=sub_pos, train=train
+        )
+        h = MLP(self.features, activation=None, name="lin_out")(h, train=train)
+        # reference uses F.leaky_relu default slope (0.01) on the residual add
+        return leaky_relu001(h + residual)
+
+
+class Upsampling(nn.Module):
+    """Non-CRF decoder block: 1-NN upsample, lin, concat-fuse with skip.
+
+    Reference: models/point_conv_big.py:91-107.
+    """
+
+    up_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x_down: jnp.ndarray,        # [B, S, F_down] coarse features
+        x_up: jnp.ndarray,          # [B, N, F_up] skip features
+        up_idx: jnp.ndarray,        # [B, N, 1]
+        neighbor_idx: Optional[jnp.ndarray] = None,  # unused; CRF-API parity
+        train: bool = True,
+    ) -> jnp.ndarray:
+        del neighbor_idx
+        x = upsample_nearest(x_down, up_idx[..., :1])
+        x = MLP(self.up_features, activation=leaky_relu01, name="lin")(
+            x, train=train
+        )
+        x = jnp.concatenate([x_up, x], axis=-1)
+        return MLP(self.out_features, activation=leaky_relu01, name="fusion")(
+            x, train=train
+        )
+
+
+class PointConvResNet(nn.Module):
+    """The flagship encoder-decoder segmentation network ("PointConvBig").
+
+    5-stage encoder (channels 32/64/128/256/512, two ResNet bottleneck
+    blocks per stage), decoder of 4 CRF (or plain Upsampling) blocks, and
+    a dropout-MLP classifier.  Consumes a :class:`PointBatch` whose
+    ``scales`` pyramid was precomputed host-side.
+    Reference: models/point_conv_big.py:110-167.
+    """
+
+    n_classes: int
+    use_crf: bool = True
+    steps: int = 1
+    layers: Tuple[int, ...] = (32, 64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(
+        self, batch: PointBatch, train: bool = True
+    ) -> jnp.ndarray:
+        ms = batch.scales
+        L = self.layers
+        x = batch.x
+
+        # -------- encoder --------
+        x1 = ResNetBBlock(L[0], name="conv1_1")(
+            x, ms[0].pos, ms[0].neighbor_idx, train=train
+        )
+        x1 = ResNetBBlock(L[0], name="conv1_2")(
+            x1, ms[0].pos, ms[0].neighbor_idx, train=train
+        )
+
+        x2 = ResNetBBlock(L[1], name="conv2_1")(
+            x1, ms[0].pos, ms[0].sub_idx, sub_pos=ms[1].pos, train=train
+        )
+        x2 = ResNetBBlock(L[1], name="conv2_2")(
+            x2, ms[1].pos, ms[1].neighbor_idx, train=train
+        )
+
+        x3 = ResNetBBlock(L[2], name="conv3_1")(
+            x2, ms[1].pos, ms[1].sub_idx, sub_pos=ms[2].pos, train=train
+        )
+        x3 = ResNetBBlock(L[2], name="conv3_2")(
+            x3, ms[2].pos, ms[2].neighbor_idx, train=train
+        )
+
+        x4 = ResNetBBlock(L[3], name="conv4_1")(
+            x3, ms[2].pos, ms[2].sub_idx, sub_pos=ms[3].pos, train=train
+        )
+        x4 = ResNetBBlock(L[3], name="conv4_2")(
+            x4, ms[3].pos, ms[3].neighbor_idx, train=train
+        )
+
+        x5 = ResNetBBlock(L[4], name="conv5_1")(
+            x4, ms[3].pos, ms[3].sub_idx, sub_pos=ms[4].pos, train=train
+        )
+        x5 = ResNetBBlock(L[4], name="conv5_2")(
+            x5, ms[4].pos, ms[4].neighbor_idx, train=train
+        )
+
+        # -------- decoder --------
+        def deconv(i, out_f, x_down, x_up, scale):
+            if self.use_crf:
+                block = ContinuousCRFConv(
+                    out_features=out_f, steps=self.steps, name=f"deconv{i}"
+                )
+            else:
+                block = Upsampling(
+                    up_features=out_f, out_features=out_f, name=f"deconv{i}"
+                )
+            return block(
+                x_down, x_up, scale.up_idx, scale.neighbor_idx, train=train
+            )
+
+        x = deconv(4, L[3], x5, x4, ms[3])
+        x = deconv(3, L[2], x, x3, ms[2])
+        x = deconv(2, L[1], x, x2, ms[1])
+        x = deconv(1, L[0], x, x1, ms[0])
+
+        # -------- classifier --------
+        x = MLP(L[0] * 4, activation=leaky_relu01, name="classifier_0")(
+            x, train=train
+        )
+        x = nn.Dropout(rate=0.5, deterministic=not train)(x)
+        x = nn.Dense(
+            self.n_classes,
+            name="classifier_1",
+            kernel_init=nn.initializers.variance_scaling(
+                1.0 / 3.0, "fan_in", "uniform"
+            ),
+        )(x)
+        return x  # [B, N, n_classes] logits

@@ -100,6 +100,36 @@ def remove_self_loop(neighbor_idx: jnp.ndarray) -> jnp.ndarray:
     return neighbor_idx[:, :, 1:]
 
 
+def knn_interpolate(
+    x: jnp.ndarray,
+    pos_src: jnp.ndarray,
+    pos_dst: jnp.ndarray,
+    up_idx: jnp.ndarray,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Inverse-distance-weighted k-NN interpolation (coarse → fine).
+
+    Dense counterpart of torch_geometric's ``knn_interpolate`` (used by the
+    reference decoders, models/point_conv.py:267-280): each fine point gets
+    the 1/d²-weighted average of its k nearest coarse points.
+
+    Args:
+      x:       [B, S, F] coarse features.
+      pos_src: [B, S, 3] coarse positions.
+      pos_dst: [B, N, 3] fine positions.
+      up_idx:  [B, N, k] indices of the k nearest coarse points.
+
+    Returns:
+      [B, N, F].
+    """
+    nx = gather_neighbors(x, up_idx)                    # [B, N, k, F]
+    npos = gather_neighbors(pos_src, up_idx)            # [B, N, k, 3]
+    d2 = jnp.sum(jnp.square(pos_dst[:, :, None, :] - npos), axis=-1)
+    w = 1.0 / jnp.maximum(d2, eps)                      # [B, N, k]
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return jnp.einsum("bnk,bnkf->bnf", w, nx)
+
+
 def knn_bruteforce(
     support: jnp.ndarray,
     query: jnp.ndarray,

@@ -1,0 +1,6 @@
+from crfconv_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_parallel_train_step,
+)

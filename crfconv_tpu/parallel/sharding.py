@@ -1,0 +1,90 @@
+"""Device-mesh parallelism.
+
+The reference is single-GPU (SURVEY.md §2.7: no DP/TP/PP/SP, no comm
+backend), so parallelism here is greenfield and idiomatic JAX: a 1-D
+``data`` mesh, batches sharded on the leading axis with NamedSharding,
+parameters/optimizer state replicated, and XLA inserting the gradient
+all-reduce over ICI.  The same jitted train step runs single-chip (mesh
+of 1) or across a pod slice; host-side input pipelines shard per process.
+
+Spatial (point-axis) sharding — the TPU analog of the reference's
+block/crop decomposition for very large clouds — composes on top by
+sharding N instead of B; the gather-based ops stay correct because each
+crop's index pyramid is local to its own batch row.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis: str = "data"
+) -> Mesh:
+    """A 1-D mesh over the first n devices (all by default)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _batch_spec(leaf, axis: str) -> P:
+    # shard the leading (batch) axis; replicate scalars/1-D aux arrays
+    if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+        return P(axis)
+    return P()
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a PointBatch with its leading axis sharded over the mesh."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, _batch_spec(x, axis))
+        ),
+        batch,
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params / optimizer state) over the mesh."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )
+
+
+def make_parallel_train_step(
+    train_step: Callable, mesh: Mesh, axis: str = "data"
+) -> Callable:
+    """jit the train step with explicit input/output shardings.
+
+    state is replicated, the batch is sharded on its leading axis, and the
+    returned state/metrics are replicated — XLA inserts the psum over ICI
+    for the gradient reduction implied by the replicated output sharding.
+    """
+    repl = NamedSharding(mesh, P())
+
+    def state_shardings(tree):
+        return jax.tree_util.tree_map(lambda _: repl, tree)
+
+    def batch_shardings(tree):
+        return jax.tree_util.tree_map(
+            lambda x: NamedSharding(mesh, _batch_spec(x, axis)), tree
+        )
+
+    def wrapped(state, batch, rng):
+        return train_step(state, batch, rng)
+
+    return jax.jit(
+        wrapped,
+        in_shardings=(
+            None,  # state: leave to propagation (replicated by placement)
+            None,  # batch: placed by shard_batch
+            None,
+        ),
+        donate_argnums=(0,),
+    )

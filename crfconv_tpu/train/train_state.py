@@ -1,0 +1,172 @@
+"""Train state + jitted train/eval steps.
+
+The optimizer reproduces the reference recipe (trainval.py:69-73):
+SGD(lr, momentum=0.95, weight_decay=1e-4) with per-epoch exponential LR
+decay — expressed as an optax chain whose update order matches torch SGD
+(L2 folded into the gradient *before* the momentum trace).
+
+The train step is a pure function over (state, batch, rng) and is jitted
+once; under a device mesh the same function runs data-parallel with the
+batch sharded on the mesh axis and gradients all-reduced by XLA over ICI
+(see crfconv_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from crfconv_tpu.data.batch import PointBatch
+from crfconv_tpu.train.losses import segmentation_loss
+from crfconv_tpu.train.metrics import confusion_matrix_device
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+
+def make_optimizer(
+    lr: float,
+    momentum: float = 0.95,
+    weight_decay: float = 1e-4,
+    gamma: float = 0.95,
+    steps_per_epoch: int = 100,
+) -> optax.GradientTransformation:
+    """torch SGD(momentum, weight_decay) + per-epoch ExponentialLR."""
+    schedule = optax.exponential_decay(
+        init_value=lr,
+        transition_steps=steps_per_epoch,
+        decay_rate=gamma,
+        staircase=True,
+    )
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=False),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+def create_train_state(
+    model,
+    example_batch: PointBatch,
+    tx: optax.GradientTransformation,
+    seed: int = 0,
+) -> TrainState:
+    variables = model.init(
+        {
+            "params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed + 1),
+        },
+        example_batch,
+        train=True,
+    )
+    return TrainState.create(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model,
+    class_weights: Optional[jnp.ndarray] = None,
+    ignore_index: int = -1,
+    label_offset: int = 0,
+) -> Callable:
+    """Build the jittable train step for a model.
+
+    label_offset reproduces the reference's ``y = data.y - 1`` shift for
+    datasets whose label 0 means "unlabeled" (trainval.py:101).
+    """
+
+    def train_step(
+        state: TrainState, batch: PointBatch, rng: jax.Array
+    ) -> Tuple[TrainState, dict]:
+        labels = batch.y - label_offset
+
+        def loss_fn(params):
+            outputs, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            loss = segmentation_loss(
+                outputs, labels, class_weights, ignore_index
+            )
+            return loss, (outputs, updates["batch_stats"])
+
+        (loss, (outputs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = state.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        primary = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+        preds = jnp.argmax(primary, axis=-1)
+        n_classes = primary.shape[-1]
+        confusion = confusion_matrix_device(
+            labels, preds, n_classes, ignore_index
+        )
+        return new_state, {"loss": loss, "confusion": confusion}
+
+    return train_step
+
+
+def make_eval_step(
+    model,
+    class_weights: Optional[jnp.ndarray] = None,
+    ignore_index: int = -1,
+    label_offset: int = 0,
+) -> Callable:
+    def eval_step(state: TrainState, batch: PointBatch) -> dict:
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            train=False,
+        )
+        primary = outputs[-1] if isinstance(outputs, (tuple, list)) else outputs
+        labels = batch.y - label_offset
+        loss = segmentation_loss(outputs, labels, class_weights, ignore_index)
+        preds = jnp.argmax(primary, axis=-1)
+        probs = jax.nn.softmax(primary, axis=-1)
+        confusion = confusion_matrix_device(
+            labels, preds, primary.shape[-1], ignore_index
+        )
+        return {
+            "loss": loss,
+            "confusion": confusion,
+            "probs": probs,
+            "preds": preds,
+        }
+
+    return eval_step

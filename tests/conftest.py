@@ -9,3 +9,16 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent compile cache: model compiles dominate test time on 1 CPU core.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/crfconv_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The axon sitecustomize force-registers the TPU plugin and sets
+# jax.config.jax_platforms='axon,cpu' at interpreter startup, which
+# overrides the env var — override the config back before any backend
+# initializes so tests really run on the virtual 8-device CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
