@@ -1,0 +1,245 @@
+// crfconv_tpu native host ops: 3-D KD-tree kNN + voxel-grid subsampling.
+//
+// TPU-native equivalents of the reference's C++/Cython preprocessing ops
+// (utils/nearest_neighbors/knn_.cxx, utils/cpp_wrappers/cpp_subsampling/
+// grid_subsampling.cpp), written from scratch: a median-split KD-tree with
+// branch-and-bound kNN replaces vendored nanoflann; grid subsampling keeps
+// the reference semantics (voxel barycenters, mean features, per-voxel
+// majority labels).  All entry points are extern "C" for ctypes binding;
+// batch loops are OpenMP-parallel.
+//
+// Everything here runs ahead-of-time on the host: it emits the fixed-shape
+// int32 index tensors the static XLA graphs consume.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// KD-tree (3-D, median split on widest axis, array-based)
+// ---------------------------------------------------------------------------
+
+struct KDTree3 {
+  const float* pts;              // [n, 3]
+  int64_t n;
+  std::vector<int32_t> perm;     // tree order: node of range [lo,hi) at mid
+  std::vector<int8_t> axis;      // split axis per mid position
+  static constexpr int64_t kLeaf = 16;
+
+  KDTree3(const float* p, int64_t count) : pts(p), n(count) {
+    perm.resize(n);
+    for (int64_t i = 0; i < n; ++i) perm[i] = static_cast<int32_t>(i);
+    axis.assign(n, -1);
+    build(0, n);
+  }
+
+  void build(int64_t lo, int64_t hi) {
+    if (hi - lo <= kLeaf) return;
+    // widest-extent axis of this range
+    float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+    for (int64_t i = lo; i < hi; ++i) {
+      const float* q = pts + 3 * perm[i];
+      for (int d = 0; d < 3; ++d) {
+        mn[d] = std::min(mn[d], q[d]);
+        mx[d] = std::max(mx[d], q[d]);
+      }
+    }
+    int ax = 0;
+    float best = mx[0] - mn[0];
+    for (int d = 1; d < 3; ++d)
+      if (mx[d] - mn[d] > best) { best = mx[d] - mn[d]; ax = d; }
+    int64_t mid = lo + (hi - lo) / 2;
+    std::nth_element(
+        perm.begin() + lo, perm.begin() + mid, perm.begin() + hi,
+        [&](int32_t a, int32_t b) { return pts[3 * a + ax] < pts[3 * b + ax]; });
+    axis[mid] = static_cast<int8_t>(ax);
+    build(lo, mid);
+    build(mid + 1, hi);
+  }
+
+  struct Hit {
+    float d2;
+    int32_t idx;
+    bool operator<(const Hit& o) const {
+      return d2 < o.d2 || (d2 == o.d2 && idx < o.idx);
+    }
+  };
+
+  // k nearest neighbors of q, ascending distance (ties by index).
+  void query(const float* q, int k, int32_t* out_idx) const {
+    std::priority_queue<Hit> heap;  // max-heap on d2
+    search(0, n, q, k, heap);
+    std::vector<Hit> hits(heap.size());
+    for (int64_t i = static_cast<int64_t>(heap.size()) - 1; i >= 0; --i) {
+      hits[i] = heap.top();
+      heap.pop();
+    }
+    for (int i = 0; i < k; ++i)
+      out_idx[i] = (i < static_cast<int>(hits.size())) ? hits[i].idx : hits.back().idx;
+  }
+
+  static float dist2(const float* a, const float* b) {
+    float dx = a[0] - b[0], dy = a[1] - b[1], dz = a[2] - b[2];
+    return dx * dx + dy * dy + dz * dz;
+  }
+
+  void consider(int32_t pidx, const float* q, int k,
+                std::priority_queue<Hit>& heap) const {
+    float d2 = dist2(pts + 3 * pidx, q);
+    if (static_cast<int>(heap.size()) < k) {
+      heap.push({d2, pidx});
+    } else if (d2 < heap.top().d2 ||
+               (d2 == heap.top().d2 && pidx < heap.top().idx)) {
+      heap.pop();
+      heap.push({d2, pidx});
+    }
+  }
+
+  void search(int64_t lo, int64_t hi, const float* q, int k,
+              std::priority_queue<Hit>& heap) const {
+    if (hi - lo <= kLeaf) {
+      for (int64_t i = lo; i < hi; ++i) consider(perm[i], q, k, heap);
+      return;
+    }
+    int64_t mid = lo + (hi - lo) / 2;
+    consider(perm[mid], q, k, heap);
+    int ax = axis[mid];
+    float delta = q[ax] - pts[3 * perm[mid] + ax];
+    int64_t near_lo = delta < 0 ? lo : mid + 1;
+    int64_t near_hi = delta < 0 ? mid : hi;
+    int64_t far_lo = delta < 0 ? mid + 1 : lo;
+    int64_t far_hi = delta < 0 ? hi : mid;
+    search(near_lo, near_hi, q, k, heap);
+    if (static_cast<int>(heap.size()) < k || delta * delta <= heap.top().d2)
+      search(far_lo, far_hi, q, k, heap);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Batched kNN: support [B,N,3], query [B,M,3] -> out [B,M,K] int32.
+void ccn_knn_batch(const float* support, int64_t B, int64_t N,
+                   const float* query, int64_t M, int64_t K, int32_t* out) {
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t b = 0; b < B; ++b) {
+    KDTree3 tree(support + b * N * 3, N);
+    const float* qb = query + b * M * 3;
+    int32_t* ob = out + b * M * K;
+    for (int64_t m = 0; m < M; ++m)
+      tree.query(qb + m * 3, static_cast<int>(K), ob + m * K);
+  }
+}
+
+// Coverage-balanced query picking (reference knn_.cxx:138-271 semantics,
+// without its shared-RNG data race): repeatedly pick a random point among
+// the least-visited, take its K nearest neighbors, bump their usage.
+void ccn_knn_batch_distance_pick(const float* points, int64_t B, int64_t N,
+                                 int64_t nqueries, int64_t K, uint64_t seed,
+                                 float* out_queries, int32_t* out_idx) {
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t b = 0; b < B; ++b) {
+    std::mt19937_64 rng(seed + static_cast<uint64_t>(b));
+    const float* pb = points + b * N * 3;
+    KDTree3 tree(pb, N);
+    std::vector<int32_t> used(N, 0);
+    int32_t current = 0;
+    std::vector<int32_t> knn(K);
+    for (int64_t qi = 0; qi < nqueries; ++qi) {
+      std::vector<int64_t> candidates;
+      while (candidates.empty()) {
+        for (int64_t i = 0; i < N; ++i)
+          if (used[i] == current) candidates.push_back(i);
+        if (candidates.empty())
+          current = *std::min_element(used.begin(), used.end());
+      }
+      int64_t pick = candidates[rng() % candidates.size()];
+      const float* q = pb + pick * 3;
+      tree.query(q, static_cast<int>(K), knn.data());
+      for (int64_t i = 0; i < K; ++i) used[knn[i]]++;
+      used[pick] += 100;
+      std::memcpy(out_queries + (b * nqueries + qi) * 3, q, 3 * sizeof(float));
+      std::memcpy(out_idx + (b * nqueries + qi) * K, knn.data(),
+                  K * sizeof(int32_t));
+    }
+  }
+}
+
+// Voxel-grid subsampling.  Semantics match the reference
+// (grid_subsampling.cpp:5-106): voxel origin floor(min/dl)*dl, per-voxel
+// barycenter, mean features, majority label.  Output buffers must hold N
+// entries; returns the number of voxels written.
+int64_t ccn_grid_subsample(const float* points, int64_t N, const float* feats,
+                           int64_t fdim, const int32_t* labels, float sampleDl,
+                           float* out_points, float* out_feats,
+                           int32_t* out_labels) {
+  if (N == 0) return 0;
+  float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = 0; i < N; ++i)
+    for (int d = 0; d < 3; ++d) {
+      mn[d] = std::min(mn[d], points[3 * i + d]);
+      mx[d] = std::max(mx[d], points[3 * i + d]);
+    }
+  double origin[3];
+  for (int d = 0; d < 3; ++d)
+    origin[d] = std::floor(mn[d] / sampleDl) * sampleDl;
+  int64_t nx = static_cast<int64_t>(std::floor((mx[0] - origin[0]) / sampleDl)) + 1;
+  int64_t ny = static_cast<int64_t>(std::floor((mx[1] - origin[1]) / sampleDl)) + 1;
+
+  struct Cell {
+    int64_t count = 0;
+    double sum[3] = {0, 0, 0};
+    std::vector<double> fsum;
+    std::unordered_map<int32_t, int32_t> labcount;
+  };
+  std::unordered_map<int64_t, Cell> cells;
+  cells.reserve(static_cast<size_t>(N / 4 + 16));
+
+  for (int64_t i = 0; i < N; ++i) {
+    const float* p = points + 3 * i;
+    int64_t ix = static_cast<int64_t>(std::floor((p[0] - origin[0]) / sampleDl));
+    int64_t iy = static_cast<int64_t>(std::floor((p[1] - origin[1]) / sampleDl));
+    int64_t iz = static_cast<int64_t>(std::floor((p[2] - origin[2]) / sampleDl));
+    int64_t key = ix + nx * iy + nx * ny * iz;
+    Cell& c = cells[key];
+    if (feats && c.fsum.empty()) c.fsum.assign(fdim, 0.0);
+    c.count++;
+    for (int d = 0; d < 3; ++d) c.sum[d] += p[d];
+    if (feats)
+      for (int64_t f = 0; f < fdim; ++f) c.fsum[f] += feats[i * fdim + f];
+    if (labels) c.labcount[labels[i]]++;
+  }
+
+  int64_t w = 0;
+  for (auto& kv : cells) {
+    const Cell& c = kv.second;
+    double inv = 1.0 / static_cast<double>(c.count);
+    for (int d = 0; d < 3; ++d)
+      out_points[3 * w + d] = static_cast<float>(c.sum[d] * inv);
+    if (feats)
+      for (int64_t f = 0; f < fdim; ++f)
+        out_feats[w * fdim + f] = static_cast<float>(c.fsum[f] * inv);
+    if (labels) {
+      int32_t best_label = 0, best_count = -1;
+      for (auto& lc : c.labcount)
+        if (lc.second > best_count ||
+            (lc.second == best_count && lc.first < best_label)) {
+          best_count = lc.second;
+          best_label = lc.first;
+        }
+      out_labels[w] = best_label;
+    }
+    ++w;
+  }
+  return w;
+}
+
+}  // extern "C"

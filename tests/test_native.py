@@ -1,0 +1,101 @@
+"""Native C++ host ops vs numpy/scipy oracles."""
+
+import numpy as np
+import pytest
+
+from crfconv_tpu.ops import knn_host
+from crfconv_tpu.ops.subsample import grid_subsample, grid_subsample_numpy
+
+RNG = np.random.RandomState(7)
+
+
+def _native_or_skip():
+    from crfconv_tpu.ops import native_build
+
+    try:
+        return native_build.load_knn(), native_build.load_subsample()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"native build unavailable: {e}")
+
+
+class TestNativeKnn:
+    def test_matches_scipy(self):
+        knn_mod, _ = _native_or_skip()
+        from scipy.spatial import cKDTree
+
+        pts = RNG.randn(3, 500, 3).astype(np.float32)
+        q = RNG.randn(3, 200, 3).astype(np.float32)
+        idx = knn_mod.knn_batch(pts, q, 8)
+        assert idx.shape == (3, 200, 8)
+        for b in range(3):
+            d_ref, i_ref = cKDTree(pts[b]).query(q[b], k=8)
+            d_ours = np.linalg.norm(pts[b][idx[b]] - q[b][:, None], axis=-1)
+            np.testing.assert_allclose(d_ours, d_ref, atol=1e-5)
+
+    def test_self_query_col0(self):
+        knn_mod, _ = _native_or_skip()
+        pts = RNG.randn(1, 300, 3).astype(np.float32)
+        idx = knn_mod.knn_batch(pts, pts, 4)
+        np.testing.assert_array_equal(idx[0, :, 0], np.arange(300))
+
+    def test_distance_pick_coverage(self):
+        knn_mod, _ = _native_or_skip()
+        pts = RNG.randn(2, 256, 3).astype(np.float32)
+        queries, idx = knn_mod.knn_batch_distance_pick(pts, 64, 8, seed=1)
+        assert queries.shape == (2, 64, 3)
+        assert idx.shape == (2, 64, 8)
+        assert idx.min() >= 0 and idx.max() < 256
+        # picked queries are actual points and reasonably spread
+        for b in range(2):
+            uniq = len({tuple(np.round(r, 5)) for r in queries[b]})
+            assert uniq > 48  # coverage balancing avoids repeats
+
+
+class TestGridSubsample:
+    def test_numpy_semantics(self):
+        # a 2x2 grid of clusters -> 4 voxels with barycenters
+        pts = np.array(
+            [[0.1, 0.1, 0.0], [0.2, 0.2, 0.0],     # voxel A
+             [1.1, 0.1, 0.0],                       # voxel B
+             [0.1, 1.2, 0.0], [0.3, 1.1, 0.0],     # voxel C
+             [1.2, 1.2, 0.0]],                      # voxel D
+            np.float32,
+        )
+        labels = np.array([1, 2, 3, 4, 4, 5], np.int32)
+        feats = np.eye(6, 2, dtype=np.float32)
+        sp, sf, sl = grid_subsample_numpy(pts, feats, labels, grid_size=1.0)
+        assert sp.shape[0] == 4
+        key = {tuple(np.floor(p).astype(int)[:2]) for p in sp}
+        assert key == {(0, 0), (1, 0), (0, 1), (1, 1)}
+        # majority label in voxel C is 4
+        c_row = np.argmin(np.abs(sp[:, 1] - 1.15) + np.abs(sp[:, 0] - 0.2))
+        assert sl[c_row] == 4
+
+    def test_native_matches_numpy(self):
+        _, native_sub = _native_or_skip()
+        pts = RNG.rand(5000, 3).astype(np.float32) * 4
+        feats = RNG.rand(5000, 4).astype(np.float32)
+        labels = RNG.randint(0, 9, 5000).astype(np.int32)
+        sp1, sf1, sl1 = native_sub(pts, feats, labels, 0.25)
+        sp2, sf2, sl2 = grid_subsample_numpy(pts, feats, labels, 0.25)
+        assert sp1.shape == sp2.shape
+        # voxel output order is unspecified — compare as sorted sets
+        o1 = np.lexsort(sp1.T)
+        o2 = np.lexsort(sp2.T)
+        np.testing.assert_allclose(sp1[o1], sp2[o2], atol=1e-5)
+        np.testing.assert_allclose(sf1[o1], sf2[o2], atol=1e-5)
+        np.testing.assert_array_equal(sl1[o1], sl2[o2])
+
+    def test_dispatcher(self):
+        pts = RNG.rand(100, 3).astype(np.float32)
+        sub = grid_subsample(pts, grid_size=0.5)
+        assert sub.shape[1] == 3
+        assert sub.shape[0] <= 100
+
+
+class TestKnnHostDispatch:
+    def test_knn_batch_shape(self):
+        pts = RNG.randn(2, 64, 3).astype(np.float32)
+        idx = knn_host.knn_batch(pts, pts, 5)
+        assert idx.shape == (2, 64, 5)
+        np.testing.assert_array_equal(idx[:, :, 0], np.tile(np.arange(64), (2, 1)))
