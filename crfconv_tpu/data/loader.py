@@ -1,0 +1,133 @@
+"""Multiscale batching loader with background prefetch.
+
+The reference ran its collate (5 × kNN per batch) inline on the main
+thread with num_workers=0 (trainval.py:54) — the single biggest
+throughput sin identified in SURVEY.md §7 "hard parts" #5.  Here batch
+assembly + pyramid construction run in a background thread, overlapped
+with device steps, with the next batch already transferred to the device
+(double buffering) while the current one computes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from crfconv_tpu.data.batch import PointBatch
+from crfconv_tpu.data.pipeline import build_pyramid, make_batch
+
+
+class MultiscaleLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        kernel_sizes: Sequence[int] = (16, 16, 16, 16, 16),
+        ratios: Sequence[int] = (4, 4, 4, 4, 2),
+        k_up: int = 1,
+        dilations: Optional[Sequence[int]] = None,
+        sample_method: str = "random",
+        transform: Optional[Callable] = None,
+        seed: int = 0,
+        prefetch: int = 2,
+        device_put: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.kernel_sizes = tuple(kernel_sizes)
+        self.ratios = tuple(ratios)
+        self.k_up = k_up
+        self.dilations = dilations
+        self.sample_method = sample_method
+        self.transform = transform
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self.device_put = device_put
+
+    def __len__(self) -> int:
+        return max(len(self.dataset) // self.batch_size, 1)
+
+    # ------------------------------------------------------------------
+    def _assemble(self) -> PointBatch:
+        samples = []
+        for _ in range(self.batch_size):
+            s = self.dataset.get_sample(self.rng)
+            if self.transform is not None:
+                s = self.transform(s, self.rng)
+            samples.append(s)
+
+        pos = np.stack([s["pos"] for s in samples]).astype(np.float32)
+        x = np.stack([s["x"] for s in samples]).astype(np.float32)
+        y = (
+            np.stack([s["y"] for s in samples])
+            if "y" in samples[0]
+            else None
+        )
+        point_idx = (
+            np.stack([s["point_idx"] for s in samples])
+            if "point_idx" in samples[0]
+            else None
+        )
+        cloud_idx = (
+            np.asarray([s["cloud_idx"] for s in samples])
+            if "cloud_idx" in samples[0]
+            else None
+        )
+        category = (
+            np.asarray([s["category"] for s in samples])
+            if "category" in samples[0]
+            else None
+        )
+        scales = build_pyramid(
+            pos,
+            self.kernel_sizes,
+            self.ratios,
+            k_up=self.k_up,
+            dilations=self.dilations,
+            method=self.sample_method,
+            rng=self.rng,
+        )
+        return make_batch(
+            x, y, scales,
+            point_idx=point_idx,
+            cloud_idx=cloud_idx,
+            category=category,
+            device_put=self.device_put,
+        )
+
+    def __iter__(self) -> Iterator[PointBatch]:
+        n = len(self)
+        if self.prefetch <= 0:
+            for _ in range(n):
+                yield self._assemble()
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for _ in range(n):
+                    if stop.is_set():
+                        return
+                    q.put(self._assemble())
+                q.put(None)
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
