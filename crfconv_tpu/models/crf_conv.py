@@ -60,10 +60,17 @@ class ContinuousCRFConv(nn.Module):
         y = MLP(hidden, activation=None, name="pairwise_nn_1")(y, train=train)
 
         x = upsample_nearest(x, up_idx[..., :1])     # [B, N, hidden]
-        s = gaussian_similarity(y, nidx)             # [B, N, K-1]
+
+        # one fused gather of [y, z] — similarity guidance and the first
+        # mean-field message share the same neighbor indices
+        from crfconv_tpu.ops.neighbors import gather_neighbors
+
+        g = gather_neighbors(jnp.concatenate([y, x], axis=-1), nidx)
+        yn, zn = g[..., :hidden], g[..., hidden:]
+        s = gaussian_similarity(y, nidx, neighbors=yn)   # [B, N, K-1]
 
         c = self.param("c", eye_init, (hidden, hidden))
-        x = crf_mean_field(x, s, nidx, c, steps=self.steps)
+        x = crf_mean_field(x, s, nidx, c, steps=self.steps, neighbors0=zn)
 
         x = MLP(self.out_features, activation=leaky_relu01, name="out_nn")(
             x, train=train

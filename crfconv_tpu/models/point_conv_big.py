@@ -17,7 +17,7 @@ import flax.linen as nn
 from crfconv_tpu.data.batch import PointBatch
 from crfconv_tpu.models.common import MLP, leaky_relu001, leaky_relu01
 from crfconv_tpu.models.crf_conv import ContinuousCRFConv
-from crfconv_tpu.ops.neighbors import gather_neighbors, max_pool_neighbors, upsample_nearest
+from crfconv_tpu.ops.neighbors import gather_neighbors, upsample_nearest
 
 
 class PointConv(nn.Module):
@@ -38,9 +38,19 @@ class PointConv(nn.Module):
         pos: jnp.ndarray,               # [B, N, 3] fine-scale positions
         neighbor_idx: jnp.ndarray,      # [B, M, K] indices into N
         sub_pos: Optional[jnp.ndarray] = None,  # [B, M, 3] coarse positions
+        extra: Optional[jnp.ndarray] = None,    # [B, N, E] rider tensor
         train: bool = True,
-    ) -> jnp.ndarray:
-        neighbors = gather_neighbors(pos, neighbor_idx)       # [B, M, K, 3]
+    ):
+        # One fused gather for [pos, x(, extra)]: TPU gather cost is bound
+        # by the index count, not the row width, so widening the gathered
+        # row is free and removes 1-2 extra gathers from this block.  The
+        # optional ``extra`` rider returns its gathered neighbors for the
+        # caller (the strided residual max-pool shares these indices).
+        d = x.shape[-1]
+        parts = [pos, x] if extra is None else [pos, x, extra]
+        g = gather_neighbors(jnp.concatenate(parts, axis=-1), neighbor_idx)
+        neighbors = g[..., :3]
+        xn = g[..., 3 : 3 + d]
         center = pos if sub_pos is None else sub_pos
         rel = center[:, :, None, :] - neighbors               # [B, M, K, 3]
         w = MLP(self.d_model, activation=leaky_relu01, name="weight_nn_0")(
@@ -49,8 +59,10 @@ class PointConv(nn.Module):
         w = MLP(self.d_model, activation=None, name="weight_nn_1")(
             w, train=train
         )                                                     # [B, M, K, d]
-        xn = gather_neighbors(x, neighbor_idx)                # [B, M, K, d]
-        return jnp.sum(w * xn, axis=2)                        # [B, M, d]
+        out = jnp.sum(w * xn, axis=2)                         # [B, M, d]
+        if extra is None:
+            return out
+        return out, g[..., 3 + d :]                           # [B, M, K, E]
 
 
 class ResNetBBlock(nn.Module):
@@ -79,13 +91,19 @@ class ResNetBBlock(nn.Module):
             )
         else:
             residual = x
-        if sub_pos is not None:
-            residual = max_pool_neighbors(residual, neighbor_idx)
 
         h = MLP(hidden, activation=leaky_relu01, name="lin_in")(x, train=train)
-        h = PointConv(hidden, name="point_conv")(
-            h, pos, neighbor_idx, sub_pos=sub_pos, train=train
-        )
+        if sub_pos is not None:
+            # fuse the strided residual max-pool gather into the conv gather
+            h, res_n = PointConv(hidden, name="point_conv")(
+                h, pos, neighbor_idx, sub_pos=sub_pos, extra=residual,
+                train=train,
+            )
+            residual = jnp.max(res_n, axis=2)
+        else:
+            h = PointConv(hidden, name="point_conv")(
+                h, pos, neighbor_idx, train=train
+            )
         h = MLP(self.features, activation=None, name="lin_out")(h, train=train)
         # reference uses F.leaky_relu default slope (0.01) on the residual add
         return leaky_relu001(h + residual)

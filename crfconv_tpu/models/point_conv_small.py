@@ -21,11 +21,7 @@ import flax.linen as nn
 from crfconv_tpu.data.batch import PointBatch
 from crfconv_tpu.models.common import MLP, leaky_relu001
 from crfconv_tpu.models.crf_conv import GuideCRFConv
-from crfconv_tpu.ops.neighbors import (
-    gather_neighbors,
-    knn_interpolate,
-    max_pool_neighbors,
-)
+from crfconv_tpu.ops.neighbors import gather_neighbors, knn_interpolate
 
 CHANNELS = (32, 64, 128, 256, 512)
 
@@ -55,28 +51,31 @@ class DSPointConv(nn.Module):
         hidden = self.features // 4
         in_features = x.shape[-1]
 
+        h = MLP(hidden, activation=leaky_relu001, name="mlp2")(
+            x, train=train, mask=mask
+        )
+
+        # single fused gather: [pos, h] (+ x for the strided residual pool)
+        parts = [pos, h] if sub_pos is None else [pos, h, x]
+        g = gather_neighbors(jnp.concatenate(parts, axis=-1), neighbor_idx)
+        neighbors = g[..., :3]
+        hn = g[..., 3 : 3 + hidden]
+
         if sub_pos is None:
             residual = x
         else:
-            residual = max_pool_neighbors(x, neighbor_idx)
+            residual = jnp.max(g[..., 3 + hidden :], axis=2)
         if in_features != self.features:
             residual = MLP(self.features, activation=None, name="mlp4")(
                 residual, train=train, mask=mask
             )
 
-        h = MLP(hidden, activation=leaky_relu001, name="mlp2")(
-            x, train=train, mask=mask
-        )
-
-        neighbors = gather_neighbors(pos, neighbor_idx)       # [B, M, K, 3]
         center = pos if sub_pos is None else sub_pos
         rel = center[:, :, None, :] - neighbors
         w = MLP(hidden, activation=leaky_relu001, name="mlp1_0")(
             rel, train=train
         )
         w = MLP(hidden, activation=None, name="mlp1_1")(w, train=train)
-
-        hn = gather_neighbors(h, neighbor_idx)                # [B, M, K, h]
         h = jnp.sum(w * hn, axis=2)                           # aggr='add'
 
         h = MLP(self.features, activation=None, name="mlp3")(

@@ -31,6 +31,7 @@ def gaussian_similarity(
     y: jnp.ndarray,
     neighbor_idx: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    neighbors: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Per-neighbor Gaussian affinity softmax_K(-‖y_i - y_j‖²).
 
@@ -40,11 +41,13 @@ def gaussian_similarity(
       y:            [B, N, H] pairwise (guidance) features.
       neighbor_idx: [B, N, K] int32 neighbor indices (self already removed).
       mask:         optional [B, N, K] bool neighbor validity.
+      neighbors:    optional pre-gathered y neighbors [B, N, K, H].
 
     Returns:
       s: [B, N, K] affinities, each row summing to 1 (or 0 if fully masked).
     """
-    neighbors = gather_neighbors(y, neighbor_idx)            # [B, N, K, H]
+    if neighbors is None:
+        neighbors = gather_neighbors(y, neighbor_idx)        # [B, N, K, H]
     d = y[:, :, None, :] - neighbors                          # [B, N, K, H]
     d = jnp.sum(d * d, axis=-1)                               # [B, N, K]
     return masked_softmax(-d, mask, axis=2)
@@ -68,6 +71,7 @@ def crf_mean_field(
     neighbor_idx: jnp.ndarray,
     c: jnp.ndarray,
     steps: int = 1,
+    neighbors0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run ``steps`` mean-field iterations of the continuous Gaussian CRF.
 
@@ -79,6 +83,11 @@ def crf_mean_field(
                     compatibility used is C = cᵀ c (reference
                     continuous_crf_conv_big.py:66).
       steps:        number of mean-field iterations (static).
+      neighbors0:   optional pre-gathered neighbors of the INITIAL state z
+                    ([B, N, K, H]).  Callers that already gather other
+                    tensors with the same indices can ride z along and
+                    skip this function's first gather (gather cost on TPU
+                    is index-count-bound, so fusing gathers is free).
 
     Returns:
       x: [B, N, H] refined features.
@@ -94,14 +103,20 @@ def crf_mean_field(
     # drop to bf16 MXU passes and break parity with the reference).
     hp = jax.lax.Precision.HIGHEST
 
-    def body(x, _):
-        msg = gather_neighbors(x, neighbor_idx)               # [B, N, K, H]
+    def update(x, msg):
         msg = jnp.einsum("bnk,bnkh->bnh", s, msg, precision=hp)
         x = z + jnp.dot(msg, C, precision=hp)                 # compatibility
-        x = jnp.dot(x, inv, precision=hp)                     # normalization
-        return x, None
+        return jnp.dot(x, inv, precision=hp)                  # normalization
 
-    x, _ = jax.lax.scan(body, z, None, length=steps)
+    def body(x, _):
+        return update(x, gather_neighbors(x, neighbor_idx)), None
+
+    x = z
+    remaining = steps
+    if neighbors0 is not None and steps > 0:
+        x = update(z, neighbors0)
+        remaining = steps - 1
+    x, _ = jax.lax.scan(body, x, None, length=remaining)
     return x
 
 

@@ -135,14 +135,19 @@ def knn_bruteforce(
     query: jnp.ndarray,
     k: int,
     *,
-    tile: int = 2048,
+    tile: Optional[int] = None,
+    exact: bool = True,
+    recall_target: float = 0.99,
 ) -> jnp.ndarray:
-    """Exact batched kNN on device via tiled brute force.
+    """Batched kNN on device via tiled brute force.
 
-    A TPU-resident counterpart to the host C++ KD-tree search — useful
-    for building pyramids of modest N (≤ ~16k) entirely on device, and
-    as the ground truth in tests.  Distances are computed tile-by-tile
-    over the query axis so the [N, N] matrix never materializes.
+    The TPU-resident counterpart to the host C++ KD-tree search: distance
+    blocks are MXU matmuls, computed tile-by-tile over the query axis so
+    only one [tile, N] block is live at a time (the tile auto-sizes to a
+    ~128 MB budget, so Semantic3D-scale clouds of 65k+ points fit).  With
+    ``exact=False`` the top-k uses the TPU-optimized ``approx_max_k``
+    (MIPS-style, recall ≥ recall_target) — much faster at large N and
+    statistically indistinguishable for neighborhood construction.
 
     Args:
       support: [B, N, 3] points searched over.
@@ -150,31 +155,44 @@ def knn_bruteforce(
       k:       neighbor count (k ≤ N).
 
     Returns:
-      [B, M, k] int32 indices, sorted by ascending distance (ties broken
+      [B, M, k] int32 indices, ascending distance (exact mode breaks ties
       by index, so column 0 is the query point itself when query==support).
     """
     B, N, _ = support.shape
     M = query.shape[1]
+    if tile is None:
+        budget = 128 * 1024 * 1024 // 4  # f32 elements per live block
+        tile = max(min(budget // max(N, 1), M, 4096), 8)
     tile = min(tile, M)
-    # Pad M to a multiple of tile.
     pad = (-M) % tile
     q = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
     nt = q.shape[1] // tile
-    q = q.reshape(B, nt, tile, 3)
+    q = q.reshape(B * nt, tile, 3)
     s_sq = jnp.sum(support * support, axis=-1)  # [B, N]
 
-    def per_tile(qt, sup, ssq):
-        # qt [tile,3], sup [N,3] -> [tile,k].  The cross term must run at
-        # full f32: the platform-default bf16 MXU pass perturbs the
-        # self-distance away from 0 and breaks the col-0 == self invariant.
+    def per_tile(args):
+        qt, sup, ssq = args  # [tile,3], [N,3], [N]
+        # The cross term must run at full f32: the platform-default bf16
+        # MXU pass perturbs the self-distance away from 0 and breaks the
+        # col-0 == self invariant.
         cross = jnp.dot(qt, sup.T, precision=jax.lax.Precision.HIGHEST)
         d = jnp.sum(qt * qt, axis=-1, keepdims=True) - 2.0 * cross + ssq[None, :]
-        _, idx = jax.lax.top_k(-d, k)
+        if exact:
+            _, idx = jax.lax.top_k(-d, k)
+        else:
+            _, idx = jax.lax.approx_max_k(
+                -d, k, recall_target=recall_target
+            )
         return idx.astype(jnp.int32)
 
-    def per_batch(qb, sup, ssq):
-        return jax.lax.map(lambda qt: per_tile(qt, sup, ssq), qb)
-
-    idx = jax.vmap(per_batch)(q, support, s_sq)  # [B, nt, tile, k]
+    # sequential map over (batch × tile) keeps exactly one distance block
+    # in HBM at a time; XLA double-buffers across iterations.
+    sup_rep = jnp.repeat(
+        jnp.arange(B, dtype=jnp.int32), nt
+    )  # block -> batch index
+    idx = jax.lax.map(
+        lambda i: per_tile((q[i], support[sup_rep[i]], s_sq[sup_rep[i]])),
+        jnp.arange(B * nt, dtype=jnp.int32),
+    )  # [B*nt, tile, k]
     idx = idx.reshape(B, nt * tile, k)[:, :M]
     return idx

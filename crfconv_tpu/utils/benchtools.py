@@ -1,0 +1,64 @@
+"""Trustworthy device timing.
+
+Per-call wall-clock timing is unreliable on remote/tunneled TPU runtimes:
+dispatch is async-pipelined and ``block_until_ready`` can return before
+execution completes, so sub-dispatch-latency measurements are fiction
+(observed: "0.3 ms" for a 1.1-TFLOP matmul).  The robust protocol:
+
+  1. wrap the step in a ``lax.fori_loop`` carrying a data dependency so
+     XLA cannot elide or overlap iterations arbitrarily;
+  2. run the whole loop as ONE dispatch;
+  3. force completion by reading back a scalar that depends on the
+     final carry;
+  4. subtract the measured single-dispatch latency floor.
+
+``device_time(step, init, iters)`` returns seconds per call.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _scalarize(tree: Any) -> jnp.ndarray:
+    leaves = [
+        jnp.sum(l).astype(jnp.float32)
+        for l in jax.tree_util.tree_leaves(tree)
+        if hasattr(l, "dtype")
+    ]
+    return sum(leaves[:4]) if leaves else jnp.float32(0)
+
+
+def device_time(
+    step: Callable[[Any], Any],
+    init: Any,
+    iters: int = 10,
+    warmup: bool = True,
+) -> float:
+    """Seconds per call of ``step`` (a carry -> carry function), measured
+    as one fused fori_loop dispatch forced by a scalar readback."""
+
+    @jax.jit
+    def run_loop(carry):
+        out = jax.lax.fori_loop(0, iters, lambda i, c: step(c), carry)
+        return _scalarize(out)
+
+    @jax.jit
+    def run_once(carry):
+        return _scalarize(step(carry))
+
+    if warmup:
+        float(run_once(init))
+        float(run_loop(init))
+    t0 = time.perf_counter()
+    float(run_once(init))
+    t_once = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run_loop(init))
+    t_loop = time.perf_counter() - t0
+    # remove the dispatch-latency floor; one step is included in t_once
+    return max((t_loop - t_once) / max(iters - 1, 1), 1e-9)
