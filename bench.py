@@ -1,19 +1,26 @@
 """Headline benchmark: S3DIS-config inference points/sec/chip.
 
-Measures steady-state forward throughput of the flagship
-PointConvResNet (use_crf=True, steps=1) on the S3DIS workload shape
-(batch 8 x 8192 points, K=16, 5-scale ¼-rate pyramid — reference
-configure.py:94-98, datasets/s3dis_dataset.py:392-393) on one chip.
+Measures the flagship PointConvResNet (use_crf=True, steps=1) on the
+S3DIS workload shape (batch 8 x 8192 points, K=16, 5-scale ¼-rate
+pyramid — reference configure.py:94-98, datasets/s3dis_dataset.py:392-393)
+on one chip, including the on-device neighbor-pyramid construction, in
+the windowed neighborhood regime (ops/windowed.py) with the exact dense
+regime also reported to stderr.
+
+Timing uses utils.benchtools.device_time (chained fori_loop, single
+dispatch, scalar readback): naive per-call timing is fiction on remote
+TPU runtimes (see that module's docstring).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "points/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "points/sec/chip", "vs_baseline": N}
 
-vs_baseline compares against the plain-torch re-execution of the
-reference model (tests/torch_ref.py) measured on this host's CPU — the
-only reference implementation measurable in this environment (the
-upstream torch_geometric CUDA stack is not installed and no numbers are
-published; see BASELINE.md).  The torch number is cached in
-benchmarks/torch_baseline.json after first measurement.
+vs_baseline compares against a plain-torch re-execution of the reference
+model (tests/torch_ref.py) measured on this host's CPU — the only
+reference implementation measurable in this environment (the upstream
+torch_geometric CUDA stack is not installed and the repo publishes no
+numbers; BASELINE.md).  The torch figure includes its (host) pyramid
+build, ours includes the on-device build — both ends measured
+end-to-end from positions to logits.
 """
 
 from __future__ import annotations
@@ -33,43 +40,68 @@ BATCH = 8
 POINTS = 8192
 IN_CHANNELS = 6
 N_CLASSES = 13
-WARMUP = 3
-ITERS = 10
 
 
-def measure_jax() -> float:
+def measure_jax(mode: str = "windowed") -> float:
+    """points/sec for pyramid build + forward, single chip."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    from crfconv_tpu.data.pipeline import synthetic_batch
+    from crfconv_tpu.data.batch import PointBatch
+    from crfconv_tpu.data.pipeline import build_pyramid_jax, synthetic_batch
     from crfconv_tpu.models import PointConvResNet
+    from crfconv_tpu.ops.neighbors import neighbor_mode
+    from crfconv_tpu.ops.windowed import build_pyramid_windowed
+    from crfconv_tpu.utils import device_time
 
-    batch = synthetic_batch(
-        BATCH, POINTS, IN_CHANNELS, N_CLASSES, seed=0
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.random((BATCH, POINTS, 3), dtype=np.float32))
+    feats = jnp.asarray(
+        rng.random((BATCH, POINTS, IN_CHANNELS), dtype=np.float32)
     )
     model = PointConvResNet(n_classes=N_CLASSES, use_crf=True, steps=1)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch,
-        train=False,
-    )
 
-    @jax.jit
-    def forward(variables, batch):
-        return model.apply(variables, batch, train=False)
+    with neighbor_mode(mode if mode == "windowed" else "exact"):
+        # init once on a prebuilt batch
+        if mode == "windowed":
+            order, scales = build_pyramid_windowed(
+                pos, key=jax.random.PRNGKey(0)
+            )
+            x0 = jnp.take_along_axis(feats, order[..., None], axis=1)
+        else:
+            scales = build_pyramid_jax(pos, key=jax.random.PRNGKey(0))
+            x0 = feats
+        batch0 = PointBatch(x=x0, y=None, scales=scales)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            batch0,
+            train=False,
+        )
 
-    out = forward(variables, batch)
-    out.block_until_ready()
-    for _ in range(WARMUP - 1):
-        forward(variables, batch).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        forward(variables, batch).block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
-    return BATCH * POINTS / dt
+        def step(carry):
+            p, key = carry
+            key, sub = jax.random.split(key)
+            if mode == "windowed":
+                order, scales = build_pyramid_windowed(p, key=sub)
+                x = jnp.take_along_axis(feats, order[..., None], axis=1)
+            else:
+                scales = build_pyramid_jax(p, key=sub)
+                x = feats
+            out = model.apply(
+                variables, PointBatch(x=x, y=None, scales=scales),
+                train=False,
+            )
+            # carry a dependency so iterations cannot be elided
+            return (p + 1e-9 * out[..., :3], key)
+
+        t = device_time(step, (pos, jax.random.PRNGKey(2)), iters=8)
+    return BATCH * POINTS / t
 
 
 def measure_torch_baseline(max_iters: int = 3) -> float:
-    """Reference model re-execution on host CPU (cached)."""
+    """Reference model re-execution on host CPU, incl. pyramid (cached)."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             return json.load(f)["points_per_sec"]
@@ -87,30 +119,34 @@ def measure_torch_baseline(max_iters: int = 3) -> float:
     x = torch.from_numpy(
         rng.random((BATCH, POINTS, IN_CHANNELS), dtype=np.float32)
     )
-    scales = [
-        {
-            "pos": torch.from_numpy(s.pos),
-            "neighbor_idx": torch.from_numpy(s.neighbor_idx).long(),
-            "sub_idx": torch.from_numpy(s.sub_idx).long(),
-            "up_idx": torch.from_numpy(s.up_idx).long(),
-        }
-        for s in build_pyramid(pos, rng=rng)
-    ]
     model = TorchPointConvResNet(IN_CHANNELS, N_CLASSES, use_crf=True, steps=1)
     model.eval()
-    with torch.no_grad():
-        model(x, scales)  # warmup
-        t0 = time.perf_counter()
-        for _ in range(max_iters):
-            model(x, scales)
-        dt = (time.perf_counter() - t0) / max_iters
+
+    def run_once():
+        scales = [
+            {
+                "pos": torch.from_numpy(s.pos),
+                "neighbor_idx": torch.from_numpy(s.neighbor_idx).long(),
+                "sub_idx": torch.from_numpy(s.sub_idx).long(),
+                "up_idx": torch.from_numpy(s.up_idx).long(),
+            }
+            for s in build_pyramid(pos, rng=rng)
+        ]
+        with torch.no_grad():
+            return model(x, scales)
+
+    run_once()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(max_iters):
+        run_once()
+    dt = (time.perf_counter() - t0) / max_iters
     pps = BATCH * POINTS / dt
     os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
     with open(BASELINE_CACHE, "w") as f:
         json.dump(
             {
                 "points_per_sec": pps,
-                "what": "TorchPointConvResNet fwd, CPU, "
+                "what": "TorchPointConvResNet pyramid+fwd, CPU, "
                 f"B={BATCH} N={POINTS} K=16 steps=1",
             },
             f,
@@ -119,7 +155,17 @@ def measure_torch_baseline(max_iters: int = 3) -> float:
 
 
 def main():
-    value = measure_jax()
+    print("# measuring windowed regime...", file=sys.stderr, flush=True)
+    value = measure_jax("windowed")
+    print(f"# windowed: {value:,.0f} pts/s", file=sys.stderr, flush=True)
+    try:
+        exact = measure_jax("exact")
+        print(
+            f"# exact-regime: {exact:,.0f} pts/s; windowed: {value:,.0f}",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# exact-regime measurement failed: {e}", file=sys.stderr)
     try:
         baseline = measure_torch_baseline()
         vs = value / baseline
@@ -128,7 +174,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "S3DIS-config inference throughput (PointConvBig, CRF steps=1)",
+                "metric": "S3DIS-config e2e inference (pyramid+forward, "
+                "PointConvBig CRF steps=1, windowed regime)",
                 "value": round(value, 1),
                 "unit": "points/sec/chip",
                 "vs_baseline": None if vs is None else round(vs, 2),

@@ -41,6 +41,19 @@ class ScaleData(NamedTuple):
     up_idx: Optional[jnp.ndarray] = None   # [B, N_s, 1] int32
 
 
+class RawBatch(NamedTuple):
+    """A batch before neighbor-structure construction — used by the
+    windowed regime, where the pyramid is built on-device inside the
+    jitted step (ops/windowed.py::build_pyramid_windowed)."""
+
+    pos: jnp.ndarray                    # [B, N, 3]
+    x: jnp.ndarray                      # [B, N, C_in]
+    y: Optional[jnp.ndarray] = None     # [B, N]
+    point_idx: Optional[jnp.ndarray] = None
+    cloud_idx: Optional[jnp.ndarray] = None
+    category: Optional[jnp.ndarray] = None
+
+
 class PointBatch(NamedTuple):
     """A dense batch of fixed-size point clouds plus its index pyramid."""
 

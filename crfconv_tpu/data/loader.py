@@ -35,7 +35,10 @@ class MultiscaleLoader:
         seed: int = 0,
         prefetch: int = 2,
         device_put: bool = True,
+        emit: str = "pyramid",   # 'pyramid' -> PointBatch, 'raw' -> RawBatch
     ):
+        assert emit in ("pyramid", "raw")
+        self.emit = emit
         self.dataset = dataset
         self.batch_size = batch_size
         self.kernel_sizes = tuple(kernel_sizes)
@@ -82,6 +85,20 @@ class MultiscaleLoader:
             if "category" in samples[0]
             else None
         )
+        if self.emit == "raw":
+            import jax.numpy as jnp
+
+            from crfconv_tpu.data.batch import RawBatch
+
+            put = (lambda a: jnp.asarray(a)) if self.device_put else (lambda a: a)
+            return RawBatch(
+                pos=put(pos),
+                x=put(x),
+                y=None if y is None else put(y.astype(np.int32)),
+                point_idx=None if point_idx is None else put(point_idx),
+                cloud_idx=None if cloud_idx is None else put(cloud_idx),
+                category=None if category is None else put(category),
+            )
         scales = build_pyramid(
             pos,
             self.kernel_sizes,

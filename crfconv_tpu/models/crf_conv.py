@@ -113,23 +113,19 @@ class GuideCRFConv(nn.Module):
             y, train=train, mask=mask
         )
 
+        from crfconv_tpu.ops.neighbors import gather_neighbors as _gather
+
         nmask = None
         if self.radius is not None:
-            npos = jnp.take_along_axis(
-                pos,
-                nidx.reshape(pos.shape[0], -1, 1),
-                axis=1,
-                mode="promise_in_bounds",
-            ).reshape(nidx.shape + (3,))
+            npos = _gather(pos, nidx)
             d2 = jnp.sum(
                 jnp.square(pos[:, :, None, :] - npos), axis=-1
             )
             nmask = d2 <= self.radius * self.radius
         if mask is not None:
-            valid_n = jnp.take_along_axis(
-                mask, nidx.reshape(mask.shape[0], -1), axis=1,
-                mode="promise_in_bounds",
-            ).reshape(nidx.shape)
+            valid_n = _gather(
+                mask.astype(jnp.float32)[..., None], nidx
+            )[..., 0] > 0.5
             nmask = valid_n if nmask is None else (nmask & valid_n)
 
         s = gaussian_similarity(yh, nidx, mask=nmask)

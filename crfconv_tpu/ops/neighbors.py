@@ -11,10 +11,37 @@ precomputed host-side, never on the device hot path.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Gather regime: 'exact' uses XLA's index-serial gather (bit-exact,
+# default); 'windowed' requires a Morton-sorted, window-consistent index
+# pyramid (ops/windowed.py) and turns every gather into per-tile one-hot
+# matmuls on the MXU.  The switch is read at TRACE time — set it before
+# jitting the model.
+_MODE = {"mode": "exact", "tile": 128, "pad": 192}
+
+
+def set_neighbor_mode(mode: str, tile: int = 128, pad: int = 192) -> None:
+    assert mode in ("exact", "windowed")
+    _MODE.update(mode=mode, tile=tile, pad=pad)
+
+
+def get_neighbor_mode() -> dict:
+    return dict(_MODE)
+
+
+@contextlib.contextmanager
+def neighbor_mode(mode: str, tile: int = 128, pad: int = 192):
+    prev = get_neighbor_mode()
+    set_neighbor_mode(mode, tile, pad)
+    try:
+        yield
+    finally:
+        _MODE.update(prev)
 
 
 def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -27,6 +54,10 @@ def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     Returns:
       [B, M, K, F] neighbor features.
     """
+    if _MODE["mode"] == "windowed":
+        from crfconv_tpu.ops.windowed import windowed_gather
+
+        return windowed_gather(x, idx, _MODE["tile"], _MODE["pad"])
     B, M, K = idx.shape
     F = x.shape[-1]
     flat = jnp.take_along_axis(
@@ -45,6 +76,8 @@ def upsample_nearest(x: jnp.ndarray, up_idx: jnp.ndarray) -> jnp.ndarray:
     Returns:
       [B, N, F].
     """
+    if _MODE["mode"] == "windowed":
+        return gather_neighbors(x, up_idx)[:, :, 0]
     return jnp.take_along_axis(x, up_idx, axis=1, mode="promise_in_bounds")
 
 

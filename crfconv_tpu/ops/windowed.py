@@ -1,0 +1,272 @@
+"""Windowed neighborhood regime — the TPU-native fast path.
+
+The exact dense path pays ~7 ns per gathered index on TPU (XLA gather is
+index-serial), which makes neighbor gathers the entire cost of the model.
+This module removes random access altogether:
+
+  1. points are sorted by Morton code, so spatial neighbors are index
+     neighbors;
+  2. kNN is searched only inside a per-tile candidate *window* of the
+     sorted order (size W = TILE + 2·PAD) — an O(N·W) MXU-shaped
+     computation instead of O(N²);
+  3. neighbor gathers become per-tile one-hot × window matmuls (MXU) —
+     no HBM random access at all.
+
+The resulting neighbor graph is a deterministic approximation of exact
+kNN (window recall is typically 85-97%; missing edges are replaced by the
+next-nearest in-window point).  The reference itself tolerates equivalent
+neighbor-set nondeterminism — torch's radius_graph truncates neighbors in
+arbitrary order (models/continuous_crf_conv.py:53; SURVEY.md §7 hard part
+4) — so parity is statistical (mIoU), exactly as there.  The exact
+regime stays the default; enable this one with
+``crfconv_tpu.ops.neighbors.set_neighbor_mode("windowed")`` plus a
+pyramid built by :func:`build_pyramid_windowed`.
+
+Window geometry is a pure function of (M_out, N_src, TILE, PAD) shared by
+the builder and the gather — both sides always agree on the window of
+each output tile.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crfconv_tpu.data.batch import ScaleData
+from crfconv_tpu.ops.morton import morton_order
+
+TILE = 128     # output rows per window tile
+PAD = 192      # extra candidate rows on each side of a tile
+
+
+def window_starts(m_out: int, n_src: int, tile: int = TILE, pad: int = PAD):
+    """Window geometry shared by the builder and the gather.
+
+    Returns (starts, width, front): output tile t's candidate window
+    covers source rows [starts[t] - front, starts[t] - front + width) in
+    unpadded coordinates, i.e. rows [starts[t], starts[t] + width) of a
+    source padded with `front` rows up front.  ``front = pad + tile``
+    includes one tile of slack so strided sub_idx (neighbor lists built at
+    the fine scale, gathered at the coarse scale) stays in-window.
+    """
+    nt = -(-m_out // tile)
+    stride = n_src / m_out  # src rows per output row
+    front = pad + tile
+    starts = np.round(np.arange(nt) * tile * stride).astype(np.int64)
+    # sublane-align the window starts (DMA slice starts must be provably
+    # divisible by 8); the shift is absorbed by the shared geometry
+    starts = (starts // 8) * 8
+    width = int(np.ceil(tile * stride)) + 2 * front + 8
+    # round width up to a lane multiple for clean tiling
+    width = -(-width // 128) * 128
+    return starts, width, front
+
+
+def _pad_src(x, front: int, width: int, starts, value: float = 0.0):
+    """Pad the source so every window slice is in range."""
+    need = int(starts[-1]) + width
+    return jnp.pad(
+        x,
+        ((0, 0), (front, max(need - x.shape[1] - front, 0)), (0, 0)),
+        constant_values=value,
+    )
+
+
+def windowed_gather(
+    x: jnp.ndarray,
+    idx: jnp.ndarray,
+    tile: int = TILE,
+    pad: int = PAD,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Gather neighbors assuming window-consistent indices.
+
+    Args:
+      x:   [B, N_src, F] source features.
+      idx: [B, M, K] global indices into N_src, each guaranteed to lie in
+           its output tile's window (as produced by window_knn /
+           build_pyramid_windowed).  Out-of-window entries are clamped
+           (garbage-in, clamped-garbage-out: validate with
+           check_window_consistency in tests).
+
+    Returns:
+      [B, M, K, F].
+    """
+    B, n_src, F = x.shape
+    M, K = idx.shape[1], idx.shape[2]
+    starts, width, front = window_starts(M, n_src, tile, pad)
+    nt = starts.shape[0]
+    m_pad = nt * tile - M
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from crfconv_tpu.ops.windowed_pallas import windowed_gather_pallas
+
+        return windowed_gather_pallas(x, idx, tile, pad)
+
+    xp = _pad_src(x, front, width, starts)
+    idx_p = jnp.pad(idx, ((0, 0), (0, m_pad), (0, 0)))
+    starts_j = jnp.asarray(starts, jnp.int32)
+    # rel position of each neighbor inside its tile's window
+    rel = (
+        idx_p.reshape(B, nt, tile, K)
+        + front
+        - starts_j[None, :, None, None]
+    )
+    rel = jnp.clip(rel, 0, width - 1)
+    oh = jax.nn.one_hot(
+        rel.reshape(B, nt, tile * K), width, dtype=jnp.bfloat16
+    )
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(xp, s, width, axis=1),
+        out_axes=1,
+    )(starts_j)                                          # [B, nt, width, F]
+    # hi/lo bf16 split keeps the selected values at ~f32 fidelity while
+    # the selection matmuls run at bf16 MXU rate
+    win = win.astype(jnp.float32)
+    hi = win.astype(jnp.bfloat16)
+    lo = (win - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "btkw,btwf->btkf", oh, hi, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "btkw,btwf->btkf", oh, lo, preferred_element_type=jnp.float32
+    )
+    out = out.astype(x.dtype)
+    return out.reshape(B, nt * tile, K, F)[:, :M]
+
+
+def check_window_consistency(
+    idx: np.ndarray, n_src: int, tile: int = TILE, pad: int = PAD
+) -> float:
+    """Fraction of indices inside their tile's window (1.0 = consistent)."""
+    idx = np.asarray(idx)
+    M = idx.shape[1]
+    starts, width, front = window_starts(M, n_src, tile, pad)
+    nt = starts.shape[0]
+    m_pad = nt * tile - M
+    idx_p = np.pad(idx, ((0, 0), (0, m_pad), (0, 0)))
+    rel = (
+        idx_p.reshape(idx.shape[0], nt, tile, -1)
+        + front
+        - starts[None, :, None, None]
+    )
+    valid = (rel >= 0) & (rel < width)
+    # padded tail rows don't count
+    valid = valid.reshape(idx.shape[0], nt * tile, -1)[:, :M]
+    return float(valid.mean())
+
+
+def window_knn(
+    pos: jnp.ndarray,
+    k: int,
+    m_out: Optional[int] = None,
+    query_pos: Optional[jnp.ndarray] = None,
+    tile: int = TILE,
+    pad: int = PAD,
+) -> jnp.ndarray:
+    """kNN restricted to each tile's candidate window.
+
+    For same-scale search (query_pos is None) the query rows are the
+    source rows; for bipartite search pass query_pos [B, M, 3] whose rows
+    correspond, in sorted order, to source positions (the pyramid keeps
+    every scale Morton-ordered so this holds).
+
+    Returns [B, M, K] int32 GLOBAL source indices, ascending distance.
+    Column 0 is the query itself in the same-scale case.
+    """
+    q = pos if query_pos is None else query_pos
+    B, M, _ = q.shape
+    n_src = pos.shape[1]
+    starts, width, front = window_starts(M, n_src, tile, pad)
+    nt = starts.shape[0]
+    m_pad = nt * tile - M
+    qp = jnp.pad(q, ((0, 0), (0, m_pad), (0, 0)), constant_values=1e9)
+    qt = qp.reshape(B, nt, tile, 3)
+    # pad source with far-away sentinels so windows never pick them
+    xp = _pad_src(pos, front, width, starts, value=2e9)
+    starts_j = jnp.asarray(starts, jnp.int32)
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(xp, s, width, axis=1),
+        out_axes=1,
+    )(starts_j)                                         # [B, nt, width, 3]
+
+    hp = jax.lax.Precision.HIGHEST
+    cross = jnp.einsum("btmd,btwd->btmw", qt, win, precision=hp)
+    d = (
+        jnp.sum(qt * qt, axis=-1)[..., None]
+        - 2.0 * cross
+        + jnp.sum(win * win, axis=-1)[:, :, None, :]
+    )                                                   # [B, nt, tile, width]
+    if query_pos is None:
+        # pin the self edge to column 0 (f32 rounding can otherwise let a
+        # near-duplicate beat d_self≈0); models rely on col0 == self
+        # (ops.neighbors.remove_self_loop)
+        row = jax.lax.broadcasted_iota(jnp.int32, (nt, tile, width), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (nt, tile, width), 2)
+        # row i of tile t sits at window offset (t*tile + i) + front - starts[t]
+        self_off = (
+            jnp.arange(nt, dtype=jnp.int32)[:, None, None] * tile
+            + row + front
+            - starts_j[:, None, None]
+        )
+        d = jnp.where((col == self_off)[None], -jnp.inf, d)
+    _, rel = jax.lax.top_k(-d, k)                       # [B, nt, tile, k]
+    idx = rel + starts_j[None, :, None, None] - front   # global, unpadded
+    idx = jnp.clip(idx, 0, n_src - 1)
+    return idx.reshape(B, nt * tile, k)[:, :M].astype(jnp.int32)
+
+
+def build_pyramid_windowed(
+    pos: jnp.ndarray,
+    kernel_sizes: Sequence[int] = (16, 16, 16, 16, 16),
+    ratios: Sequence[int] = (4, 4, 4, 4, 2),
+    *,
+    k_up: int = 1,
+    key: Optional[jax.Array] = None,
+    tile: int = TILE,
+    pad: int = PAD,
+) -> Tuple[jnp.ndarray, Tuple[ScaleData, ...]]:
+    """Jittable windowed pyramid: Morton sort + per-scale in-window kNN.
+
+    Subsampling is STRATIFIED (one random point per `ratio`-block of the
+    sorted order) rather than a global permutation: it keeps every scale
+    Morton-ordered and every strided index in-window by construction,
+    while remaining a uniform random ¼-rate subsample in expectation.
+
+    Returns (order, scales): `order` [B, N] is the Morton permutation the
+    caller must apply to features/labels (pos is already applied).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    order = morton_order(pos)
+    pos = jnp.take_along_axis(pos, order[..., None], axis=1)
+
+    scales = []
+    for s, (k, r) in enumerate(zip(kernel_sizes, ratios)):
+        n = pos.shape[1]
+        neighbor_idx = window_knn(pos, min(k, n), tile=tile, pad=pad)
+        sample_num = max(n // r, 1)
+        key, sub = jax.random.split(key)
+        # stratified choice: one point per block of r consecutive rows
+        offsets = jax.random.randint(sub, (sample_num,), 0, r)
+        choice = jnp.arange(sample_num) * r + offsets
+        choice = jnp.minimum(choice, n - 1)
+        sub_pos = pos[:, choice]
+        sub_idx = neighbor_idx[:, choice]
+        up_idx = window_knn(
+            sub_pos, k_up, query_pos=pos, tile=tile, pad=pad
+        )
+        scales.append(
+            ScaleData(
+                pos=pos,
+                neighbor_idx=neighbor_idx,
+                sub_idx=sub_idx,
+                up_idx=up_idx,
+            )
+        )
+        pos = sub_pos
+    return order, tuple(scales)

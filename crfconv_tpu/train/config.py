@@ -76,6 +76,9 @@ class Config:
     k_up: int = 1
     dilations: Optional[Tuple[int, ...]] = None
     sample_method: str = "random"
+    # neighbor-gather regime: 'exact' (default) or 'windowed'
+    # (Morton-sorted MXU fast path; see ops/windowed.py)
+    neighbor_regime: str = "exact"
     # checkpointing
     checkpoint_dir: str = "checkpoints"
     model_path: Optional[str] = None

@@ -88,21 +88,51 @@ def create_train_state(
     )
 
 
+def build_windowed_batch(raw, rng: jax.Array) -> PointBatch:
+    """Jittable: RawBatch → Morton-sorted PointBatch with a windowed
+    pyramid (the full input structure is built on-device)."""
+    from crfconv_tpu.data.batch import RawBatch  # noqa: F401
+    from crfconv_tpu.ops.windowed import build_pyramid_windowed
+
+    order, scales = build_pyramid_windowed(raw.pos, key=rng)
+    take = lambda a: (
+        None
+        if a is None
+        else jnp.take_along_axis(
+            a if a.ndim == 3 else a[..., None], order[..., None], axis=1
+        ).reshape(a.shape)
+    )
+    return PointBatch(
+        x=take(raw.x),
+        y=take(raw.y),
+        scales=scales,
+        point_idx=take(raw.point_idx),
+        cloud_idx=raw.cloud_idx,
+        category=raw.category,
+    )
+
+
 def make_train_step(
     model,
     class_weights: Optional[jnp.ndarray] = None,
     ignore_index: int = -1,
     label_offset: int = 0,
+    windowed: bool = False,
 ) -> Callable:
     """Build the jittable train step for a model.
 
     label_offset reproduces the reference's ``y = data.y - 1`` shift for
     datasets whose label 0 means "unlabeled" (trainval.py:101).
+    With ``windowed=True`` the step takes a RawBatch and builds the
+    Morton-sorted windowed pyramid on-device.
     """
 
     def train_step(
-        state: TrainState, batch: PointBatch, rng: jax.Array
+        state: TrainState, batch, rng: jax.Array
     ) -> Tuple[TrainState, dict]:
+        if windowed:
+            rng, pk = jax.random.split(rng)
+            batch = build_windowed_batch(batch, pk)
         labels = batch.y - label_offset
 
         def loss_fn(params):
@@ -147,8 +177,15 @@ def make_eval_step(
     class_weights: Optional[jnp.ndarray] = None,
     ignore_index: int = -1,
     label_offset: int = 0,
+    windowed: bool = False,
 ) -> Callable:
-    def eval_step(state: TrainState, batch: PointBatch) -> dict:
+    def eval_step(state: TrainState, batch) -> dict:
+        if windowed:
+            # deterministic pyramid at eval: key derived from the step so
+            # vote passes still see varied subsampling across epochs
+            batch = build_windowed_batch(
+                batch, jax.random.PRNGKey(0)
+            )
         outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch,
@@ -167,6 +204,9 @@ def make_eval_step(
             "confusion": confusion,
             "probs": probs,
             "preds": preds,
+            # probs are aligned to the (possibly Morton-sorted) batch
+            # order; expose the matching original-point ids for voting
+            "point_idx": batch.point_idx,
         }
 
     return eval_step

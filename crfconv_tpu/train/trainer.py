@@ -88,12 +88,14 @@ class Trainer:
         val_set = getattr(
             self.dataset, "val_set", getattr(self.dataset, "test_set", None)
         )
+        windowed = cfg.neighbor_regime == "windowed"
         loader_kw = dict(
             kernel_sizes=cfg.kernel_sizes,
             ratios=cfg.ratios,
             k_up=cfg.k_up,
             dilations=cfg.dilations,
             sample_method=cfg.sample_method,
+            emit="raw" if windowed else "pyramid",
         )
         self.train_loader = MultiscaleLoader(
             train_set, cfg.batch_size, transform=train_tf, seed=seed,
@@ -140,19 +142,30 @@ class Trainer:
                 seed=seed, prefetch=0, **loader_kw,
             )
         ))
+        if windowed:
+            from crfconv_tpu.train.train_state import build_windowed_batch
+
+            example = build_windowed_batch(example, jax.random.PRNGKey(0))
         self.state = create_train_state(self.model, example, self.tx, seed)
 
         cw = cfg.class_weights
         cw = None if cw is None else jnp.asarray(cw)
+        if windowed:
+            # read at trace time by every gather in the model
+            from crfconv_tpu.ops.neighbors import set_neighbor_mode
+
+            set_neighbor_mode("windowed")
         self._train_step = jax.jit(
             make_train_step(
-                self.model, cw, cfg.ignore_index, cfg.label_offset
+                self.model, cw, cfg.ignore_index, cfg.label_offset,
+                windowed=windowed,
             ),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
             make_eval_step(
-                self.model, cw, cfg.ignore_index, cfg.label_offset
+                self.model, cw, cfg.ignore_index, cfg.label_offset,
+                windowed=windowed,
             )
         )
 
@@ -243,7 +256,10 @@ class Trainer:
         for batch in self.val_loader:
             m = self._eval_step(self.state, self._place(batch))
             probs = np.asarray(m["probs"])             # [B, N, C]
-            point_idx = np.asarray(batch.point_idx)    # [B, N]
+            point_idx = np.asarray(
+                m["point_idx"] if m.get("point_idx") is not None
+                else batch.point_idx
+            )                                          # [B, N]
             cloud_idx = np.asarray(batch.cloud_idx).reshape(-1)
             for b in range(probs.shape[0]):
                 c = int(cloud_idx[b])

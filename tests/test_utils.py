@@ -1,0 +1,90 @@
+"""Utils tests: visualization assembly/export, profiling meters, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from crfconv_tpu.utils.profiling import StepTimer
+from crfconv_tpu.utils.visualization import (
+    assemble_room,
+    assemble_values,
+    export_colored_ply,
+    labels_to_colors,
+    render_png,
+)
+
+RNG = np.random.default_rng(0)
+
+
+class TestVisualization:
+    def _blocks(self):
+        # room of 100 points split into two overlapping blocks
+        pos = RNG.random((100, 3)).astype(np.float32)
+        labels = RNG.integers(0, 13, 100)
+        b1 = {"pos": pos[:60], "indices": np.arange(60), "pred": labels[:60]}
+        b2 = {"pos": pos[40:], "indices": np.arange(40, 100),
+              "pred": labels[40:]}
+        return pos, labels, [b1, b2]
+
+    def test_assemble(self):
+        pos, labels, blocks = self._blocks()
+        out, filled = assemble_room(blocks)
+        assert filled.all()
+        np.testing.assert_allclose(out, pos)
+        vals = assemble_values(blocks, "pred")
+        np.testing.assert_array_equal(vals, labels)
+
+    def test_colored_ply(self, tmp_path):
+        pos, labels, _ = self._blocks()
+        f = export_colored_ply(str(tmp_path / "room.ply"), pos, labels)
+        from crfconv_tpu.data.ply import read_ply
+
+        data = read_ply(f)
+        assert data["r"].shape[0] == 100
+        expect = labels_to_colors(labels)
+        np.testing.assert_array_equal(data["r"], expect[:, 0])
+
+    def test_render_png(self, tmp_path):
+        pos, labels, _ = self._blocks()
+        f = render_png(str(tmp_path / "room.png"), pos, labels)
+        assert os.path.getsize(f) > 1000
+
+
+class TestStepTimer:
+    def test_throughput(self):
+        t = StepTimer(warmup_steps=1)
+        for _ in range(5):
+            t.tick(points=100)
+        s = t.summary()
+        assert s["steps"] == 4
+        assert s["points_per_sec"] > 0
+
+
+class TestCLI:
+    def test_cli_runs_tiny_train(self, tmp_path):
+        from crfconv_tpu.train.__main__ import main
+        from tests.test_data import _make_s3dis_raw
+
+        root = str(tmp_path / "s3dis")
+        _make_s3dis_raw(root)
+        result = main([
+            "--dataset", "S3DIS", "--root", root, "--mode", "train",
+            "--epochs", "1", "--batch-size", "2",
+            "--set", "sample_num=256",
+            "--set", "grid_size=0.2",
+            "--set", "train_samples_per_epoch=4",
+            "--set", "val_samples_per_epoch=2",
+            "--set", f"checkpoint_dir={tmp_path}/ckpt",
+        ])
+        assert 0.0 <= result <= 1.0
+
+    def test_cli_rejects_unknown_field(self):
+        from crfconv_tpu.train.__main__ import main
+
+        with pytest.raises(SystemExit):
+            main([
+                "--dataset", "S3DIS", "--root", "/nonexistent",
+                "--set", "bogus_field=1",
+            ])

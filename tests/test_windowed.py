@@ -1,0 +1,167 @@
+"""Windowed neighborhood regime: geometry consistency, gather exactness
+(given window-consistent indices), kNN quality vs exact, and a full
+flagship forward in windowed mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from crfconv_tpu.ops.morton import morton_order_np
+from crfconv_tpu.ops.neighbors import neighbor_mode
+from crfconv_tpu.ops.windowed import (
+    build_pyramid_windowed,
+    check_window_consistency,
+    window_knn,
+    windowed_gather,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def _sorted_cloud(b=2, n=1024):
+    pos = RNG.random((b, n, 3)).astype(np.float32)
+    for i in range(b):
+        pos[i] = pos[i][morton_order_np(pos[i])]
+    return jnp.asarray(pos)
+
+
+class TestWindowKnn:
+    def test_indices_window_consistent(self):
+        pos = _sorted_cloud()
+        idx = window_knn(pos, 16)
+        assert check_window_consistency(np.asarray(idx), pos.shape[1]) == 1.0
+
+    def test_col0_is_self(self):
+        pos = _sorted_cloud()
+        idx = np.asarray(window_knn(pos, 8))
+        np.testing.assert_array_equal(
+            idx[:, :, 0],
+            np.tile(np.arange(pos.shape[1]), (pos.shape[0], 1)),
+        )
+
+    def test_quality_vs_exact(self):
+        from scipy.spatial import cKDTree
+
+        pos = _sorted_cloud(1, 2048)
+        idx = np.asarray(window_knn(pos, 16))[0]
+        p = np.asarray(pos[0])
+        d_win = np.linalg.norm(p[idx] - p[:, None], axis=-1)
+        d_exact, _ = cKDTree(p).query(p, k=16)
+        # windowed kNN may swap distant candidates for nearer in-window
+        # ones; the mean neighbor distance stays within a few percent
+        ratio = d_win.mean() / d_exact.mean()
+        assert ratio < 1.1, ratio
+
+    def test_bipartite(self):
+        pos = _sorted_cloud(1, 1024)
+        coarse = pos[:, ::4]
+        up = window_knn(coarse, 1, query_pos=pos)
+        assert up.shape == (1, 1024, 1)
+        assert check_window_consistency(
+            np.asarray(up), coarse.shape[1]
+        ) == 1.0
+
+
+class TestWindowedGather:
+    @pytest.mark.parametrize("m,n,f,k", [(1024, 1024, 8, 16), (256, 1024, 32, 16), (1024, 256, 16, 1)])
+    def test_matches_exact_gather(self, m, n, f, k):
+        # window-consistent indices: near the diagonal scaled by n/m
+        stride = n / m
+        centers = (np.arange(m) * stride).astype(np.int64)
+        idx = np.clip(
+            centers[None, :, None] + RNG.integers(-100, 100, (2, m, k)),
+            0, n - 1,
+        ).astype(np.int32)
+        assert check_window_consistency(idx, n) == 1.0
+        x = RNG.random((2, n, f)).astype(np.float32)
+        out = np.asarray(windowed_gather(jnp.asarray(x), jnp.asarray(idx)))
+        ref = np.stack([x[b][idx[b]] for b in range(2)])
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+    def test_pallas_interpret_matches(self):
+        from crfconv_tpu.ops.windowed_pallas import windowed_gather_pallas
+
+        m = n = 256
+        idx = np.clip(
+            np.arange(m)[None, :, None] + RNG.integers(-64, 64, (1, m, 8)),
+            0, n - 1,
+        ).astype(np.int32)
+        x = RNG.random((1, n, 16)).astype(np.float32)
+        out = np.asarray(
+            windowed_gather_pallas(
+                jnp.asarray(x), jnp.asarray(idx), interpret=True
+            )
+        )
+        ref = x[0][idx[0]][None]
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+
+class TestWindowedPyramid:
+    def test_build_and_consistency(self):
+        pos = jnp.asarray(RNG.random((2, 1024, 3)).astype(np.float32))
+        order, scales = build_pyramid_windowed(
+            pos, key=jax.random.PRNGKey(0)
+        )
+        assert order.shape == (2, 1024)
+        assert len(scales) == 5
+        # every index tensor is window-consistent w.r.t. its gather shape
+        for s in scales:
+            n_src = s.pos.shape[1]
+            assert check_window_consistency(
+                np.asarray(s.neighbor_idx), n_src
+            ) == 1.0
+            assert check_window_consistency(
+                np.asarray(s.sub_idx), n_src
+            ) == 1.0
+            assert check_window_consistency(
+                np.asarray(s.up_idx), s.sub_idx.shape[1]
+            ) == 1.0
+
+    def test_flagship_forward_windowed(self):
+        from crfconv_tpu.data.batch import PointBatch
+        from crfconv_tpu.models import PointConvResNet
+
+        pos = jnp.asarray(RNG.random((2, 512, 3)).astype(np.float32))
+        feats = jnp.asarray(RNG.random((2, 512, 6)).astype(np.float32))
+        order, scales = build_pyramid_windowed(
+            pos, key=jax.random.PRNGKey(1)
+        )
+        feats = jnp.take_along_axis(feats, order[..., None], axis=1)
+        batch = PointBatch(x=feats, y=None, scales=scales)
+        model = PointConvResNet(n_classes=13, use_crf=True, steps=2)
+        with neighbor_mode("windowed"):
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                batch, train=False,
+            )
+            out = model.apply(variables, batch, train=False)
+        assert out.shape == (2, 512, 13)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_windowed_close_to_exact_forward(self):
+        """Same model/weights, same windowed pyramid: gathers in windowed
+        mode must reproduce exact-mode outputs (indices are in-window, so
+        the only difference is the hi/lo bf16 selection path)."""
+        from crfconv_tpu.data.batch import PointBatch
+        from crfconv_tpu.models import PointConvResNet
+
+        pos = jnp.asarray(RNG.random((1, 512, 3)).astype(np.float32))
+        feats = jnp.asarray(RNG.random((1, 512, 6)).astype(np.float32))
+        order, scales = build_pyramid_windowed(
+            pos, key=jax.random.PRNGKey(1)
+        )
+        feats = jnp.take_along_axis(feats, order[..., None], axis=1)
+        batch = PointBatch(x=feats, y=None, scales=scales)
+        model = PointConvResNet(n_classes=13, use_crf=True, steps=1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch, train=False,
+        )
+        exact = model.apply(variables, batch, train=False)
+        with neighbor_mode("windowed"):
+            win = model.apply(variables, batch, train=False)
+        np.testing.assert_allclose(
+            np.asarray(exact), np.asarray(win), rtol=2e-2, atol=2e-2
+        )

@@ -1,0 +1,48 @@
+"""Windowed-regime training: RawBatch loader → on-device pyramid →
+train/eval steps; loss decreases and voting works."""
+
+import numpy as np
+import jax
+import pytest
+
+from crfconv_tpu.ops.neighbors import neighbor_mode
+from crfconv_tpu.train.config import S3DISConfig
+from crfconv_tpu.train.trainer import Trainer
+from tests.test_data import _make_s3dis_raw
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("s3dis_w"))
+    _make_s3dis_raw(root, n_rooms=2, n_pts=600)
+    return S3DISConfig(
+        root=root,
+        mode="train",
+        use_crf=True,
+        steps=1,
+        grid_size=0.2,
+        sample_num=256,
+        batch_size=2,
+        epochs=1,
+        train_samples_per_epoch=8,
+        val_samples_per_epoch=4,
+        neighbor_regime="windowed",
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_w")),
+    )
+
+
+def test_windowed_trainer_end_to_end(cfg):
+    with neighbor_mode("windowed"):
+        trainer = Trainer(cfg, seed=0)
+        tr = trainer.train_one_epoch(0)
+        assert np.isfinite(tr["loss"])
+        va = trainer.val_one_epoch(0)
+        assert np.isfinite(va["loss"])
+        scores, _ = trainer.metrics.get_scores()
+        assert 0.0 <= scores["Mean IoU"] <= 1.0
+        # vote epoch: probs land on original point ids despite Morton sort
+        trainer._vote_epoch(0.95)
+        touched = sum(
+            int((p.sum(axis=1) > 0).sum()) for p in trainer.test_probs
+        )
+        assert touched > 0
