@@ -23,6 +23,20 @@ torch_linear_kernel_init = nn.initializers.variance_scaling(
     1.0 / 3.0, "fan_in", "uniform"
 )
 
+# Trace-time compute dtype for all MLP matmuls (params stay f32).  bf16
+# doubles MXU rate; normalization statistics and the CRF mean-field math
+# stay f32 regardless.  Set before jitting; default f32 for parity.
+_COMPUTE = {"dtype": None}
+
+
+def set_compute_dtype(dtype: Optional[jnp.dtype]) -> None:
+    """None → full f32; jnp.bfloat16 → mixed-precision matmuls."""
+    _COMPUTE["dtype"] = dtype
+
+
+def get_compute_dtype():
+    return _COMPUTE["dtype"]
+
 
 def torch_linear_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
     bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, dtype))
@@ -122,6 +136,7 @@ class MLP(nn.Module):
         x = nn.Dense(
             self.features,
             use_bias=not self.use_bn,
+            dtype=_COMPUTE["dtype"],
             kernel_init=torch_linear_kernel_init,
             bias_init=lambda k, s, d=jnp.float32: torch_linear_bias_init(
                 k, s, d, fan_in

@@ -1,6 +1,7 @@
 from crfconv_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
     shard_batch,
+    shard_points,
     replicate,
     make_parallel_train_step,
 )

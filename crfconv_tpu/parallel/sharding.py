@@ -57,6 +57,27 @@ def replicate(tree, mesh: Mesh):
     )
 
 
+def shard_points(batch, mesh: Mesh, axis: str = "data"):
+    """Spatial parallelism: shard the POINT axis (dim 1) over the mesh.
+
+    The TPU analog of the reference's spatial block/crop decomposition
+    (SURVEY.md §5 "long-context"): with the windowed regime, each device
+    holds a contiguous span of Morton-sorted points and XLA materializes
+    the halo exchanges implied by the window slices as ICI collectives.
+    Use for clouds too large for one chip's HBM; batch DP remains the
+    default strategy.
+    """
+
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            return P(None, axis)  # [B, N, ...] -> shard N
+        return P()
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec(x))), batch
+    )
+
+
 def make_parallel_train_step(
     train_step: Callable, mesh: Mesh, axis: str = "data"
 ) -> Callable:

@@ -79,6 +79,8 @@ class Config:
     # neighbor-gather regime: 'exact' (default) or 'windowed'
     # (Morton-sorted MXU fast path; see ops/windowed.py)
     neighbor_regime: str = "exact"
+    # compute dtype for model matmuls: 'float32' (parity) or 'bfloat16'
+    compute_dtype: str = "float32"
     # checkpointing
     checkpoint_dir: str = "checkpoints"
     model_path: Optional[str] = None

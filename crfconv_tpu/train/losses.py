@@ -36,7 +36,8 @@ def weighted_cross_entropy(
       scalar loss.
     """
     n_classes = scores.shape[-1]
-    logp = jax.nn.log_softmax(scores, axis=-1)
+    # loss math always in f32 (scores may arrive bf16 in mixed precision)
+    logp = jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1)
     labels = labels.reshape(-1)
     logp = logp.reshape(-1, n_classes)
 

@@ -205,8 +205,9 @@ def make_eval_step(
             "probs": probs,
             "preds": preds,
             # probs are aligned to the (possibly Morton-sorted) batch
-            # order; expose the matching original-point ids for voting
+            # order; expose the matching original-point ids and labels
             "point_idx": batch.point_idx,
+            "labels": batch.y,
         }
 
     return eval_step

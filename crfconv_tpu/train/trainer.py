@@ -44,6 +44,14 @@ from crfconv_tpu.train.train_state import (
 log = logging.getLogger("crfconv_tpu")
 
 
+class _SplitPair:
+    """Lightweight train/val holder for datasets without a wrapper class."""
+
+    def __init__(self, train_set, val_set):
+        self.train_set = train_set
+        self.val_set = val_set
+
+
 def _build_dataset(cfg: Config):
     from crfconv_tpu.data import datasets as D
 
@@ -63,6 +71,48 @@ def _build_dataset(cfg: Config):
             num_points=cfg.sample_num,
             train_sample_per_epoch=cfg.train_samples_per_epoch,
             test_sample_per_epoch=cfg.val_samples_per_epoch,
+        )
+    if cfg.dataset == "ShapeNet":
+        return _SplitPair(
+            D.ShapeNetNormalDataset(
+                cfg.root, train=True, num_points=cfg.sample_num
+            ),
+            D.ShapeNetNormalDataset(
+                cfg.root, train=False, num_points=cfg.sample_num
+            ),
+        )
+    if cfg.dataset == "ScanNet":
+        return _SplitPair(
+            D.ScanNetDataset(
+                cfg.root, train=True, num_points=cfg.sample_num,
+                sample_per_epoch=cfg.train_samples_per_epoch,
+            ),
+            D.ScanNetDataset(
+                cfg.root, train=False, num_points=cfg.sample_num,
+                sample_per_epoch=cfg.val_samples_per_epoch,
+            ),
+        )
+    if cfg.dataset in ("Paris-Lille-3D", "NPM3D"):
+        return _SplitPair(
+            D.NPM3DDataset(
+                cfg.root, train=True, num_points=cfg.sample_num,
+                sample_per_epoch=cfg.train_samples_per_epoch,
+            ),
+            D.NPM3DDataset(
+                cfg.root, train=False, num_points=cfg.sample_num,
+                sample_per_epoch=cfg.val_samples_per_epoch,
+            ),
+        )
+    if cfg.dataset == "SemanticKITTI":
+        return _SplitPair(
+            D.SemanticKITTIDataset(
+                cfg.root, sequences="train", num_points=cfg.sample_num,
+                sample_per_epoch=cfg.train_samples_per_epoch,
+            ),
+            D.SemanticKITTIDataset(
+                cfg.root, sequences="val", num_points=cfg.sample_num,
+                sample_per_epoch=cfg.val_samples_per_epoch,
+            ),
         )
     raise ValueError(
         f"no default dataset builder for {cfg.dataset!r}; pass one explicitly"
@@ -155,6 +205,10 @@ class Trainer:
             from crfconv_tpu.ops.neighbors import set_neighbor_mode
 
             set_neighbor_mode("windowed")
+        if cfg.compute_dtype != "float32":
+            from crfconv_tpu.models.common import set_compute_dtype
+
+            set_compute_dtype(jnp.dtype(cfg.compute_dtype))
         self._train_step = jax.jit(
             make_train_step(
                 self.model, cw, cfg.ignore_index, cfg.label_offset,
@@ -373,6 +427,25 @@ class Trainer:
                 return results
             epoch += 1
         return results
+
+    def eval_partseg(self) -> dict:
+        """ShapeNet part-segmentation eval: per-instance part IoU averaged
+        per category → pIoU / mpIoU (reference utils/metrics.py:58-112
+        protocol driven over the val loader)."""
+        from crfconv_tpu.train.metrics import RunningScoreShapeNet
+
+        score = RunningScoreShapeNet()
+        for batch in self.val_loader:
+            m = self._eval_step(self.state, self._place(batch))
+            preds = np.asarray(m["preds"])
+            labels = np.asarray(m["labels"])  # aligned with preds' order
+            cats = np.asarray(batch.category).reshape(-1)
+            for b in range(preds.shape[0]):
+                score.update(labels[b], preds[b], int(cats[b]))
+        p_iou, mp_iou, cls = score.get_scores()
+        log.info("part-seg pIoU %.2f%%, mpIoU %.2f%%", p_iou * 100,
+                 mp_iou * 100)
+        return {"pIoU": p_iou, "mpIoU": mp_iou, "class_pIoU": cls}
 
     def load(self, path: Optional[str] = None):
         self.state = self.ckpt.restore(self.state, path)
