@@ -30,6 +30,12 @@ import os
 import sys
 import time
 
+# persistent compile cache: the windowed program costs 20-40 min to
+# compile cold through the remote helper; cached it loads in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/crfconv_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 BASELINE_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "benchmarks",
@@ -49,7 +55,7 @@ def measure_jax(mode: str = "windowed") -> float:
     import numpy as np
 
     from crfconv_tpu.data.batch import PointBatch
-    from crfconv_tpu.data.pipeline import build_pyramid_jax, synthetic_batch
+    from crfconv_tpu.data.pipeline import build_pyramid_jax
     from crfconv_tpu.models import PointConvResNet
     from crfconv_tpu.ops.neighbors import neighbor_mode
     from crfconv_tpu.ops.windowed import build_pyramid_windowed

@@ -15,8 +15,7 @@ crop's index pyramid is local to its own batch row.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import numpy as np
@@ -81,31 +80,20 @@ def shard_points(batch, mesh: Mesh, axis: str = "data"):
 def make_parallel_train_step(
     train_step: Callable, mesh: Mesh, axis: str = "data"
 ) -> Callable:
-    """jit the train step with explicit input/output shardings.
+    """jit the train step with explicit output shardings.
 
-    state is replicated, the batch is sharded on its leading axis, and the
-    returned state/metrics are replicated — XLA inserts the psum over ICI
-    for the gradient reduction implied by the replicated output sharding.
+    State is replicated, the batch sharded on its leading axis (via
+    shard_batch/replicate at placement time); pinning the OUTPUT state to
+    the replicated sharding makes XLA insert the gradient all-reduce over
+    ICI rather than leaving results batch-sharded.
     """
     repl = NamedSharding(mesh, P())
 
-    def state_shardings(tree):
-        return jax.tree_util.tree_map(lambda _: repl, tree)
-
-    def batch_shardings(tree):
-        return jax.tree_util.tree_map(
-            lambda x: NamedSharding(mesh, _batch_spec(x, axis)), tree
-        )
-
     def wrapped(state, batch, rng):
-        return train_step(state, batch, rng)
+        new_state, metrics = train_step(state, batch, rng)
+        new_state = jax.lax.with_sharding_constraint(
+            new_state, jax.tree_util.tree_map(lambda _: repl, new_state)
+        )
+        return new_state, metrics
 
-    return jax.jit(
-        wrapped,
-        in_shardings=(
-            None,  # state: leave to propagation (replicated by placement)
-            None,  # batch: placed by shard_batch
-            None,
-        ),
-        donate_argnums=(0,),
-    )
+    return jax.jit(wrapped, donate_argnums=(0,))

@@ -13,8 +13,6 @@ batch sharded on the mesh axis and gradients all-reduced by XLA over ICI
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
 import jax

@@ -274,8 +274,31 @@ class Trainer:
         return {"loss": float(np.mean([float(l) for l in losses]))}
 
     def train(self) -> float:
+        """Training loop with preemption safety: SIGTERM/SIGINT triggers a
+        checkpoint before exit (the reference lost runs on any crash —
+        its checkpoint write was commented out, trainval.py:149-152)."""
+        import signal
+
+        preempted = {"flag": False}
+
+        def _handler(signum, frame):
+            preempted["flag"] = True
+
+        old_term = signal.signal(signal.SIGTERM, _handler)
+        old_int = signal.signal(signal.SIGINT, _handler)
+        try:
+            return self._train_loop(preempted)
+        finally:
+            signal.signal(signal.SIGTERM, old_term)
+            signal.signal(signal.SIGINT, old_int)
+
+    def _train_loop(self, preempted) -> float:
         best_iou = 0.0
         for epoch in range(self.cfg.epochs):
+            if preempted["flag"]:
+                self.ckpt.save(self.state, step=int(self.state.step))
+                log.warning("preempted at epoch %d; checkpoint saved", epoch)
+                break
             t1 = time.time()
             tr = self.train_one_epoch(epoch)
             t2 = time.time()

@@ -50,6 +50,18 @@ class TestNativeKnn:
             uniq = len({tuple(np.round(r, 5)) for r in queries[b]})
             assert uniq > 48  # coverage balancing avoids repeats
 
+    def test_distance_pick_deterministic(self):
+        """Seeded determinism — the reference's OMP variant shares an
+        unsynchronized RNG across threads (knn_.cxx:210-242, a data race
+        SURVEY.md §5 flags as not worth reproducing); ours is per-batch
+        seeded and must be reproducible."""
+        knn_mod, _ = _native_or_skip()
+        pts = RNG.randn(2, 128, 3).astype(np.float32)
+        q1, i1 = knn_mod.knn_batch_distance_pick(pts, 32, 4, seed=7)
+        q2, i2 = knn_mod.knn_batch_distance_pick(pts, 32, 4, seed=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(q1, q2)
+
 
 class TestGridSubsample:
     def test_numpy_semantics(self):

@@ -8,7 +8,12 @@ import pytest
 
 from crfconv_tpu.data.pipeline import synthetic_batch
 from crfconv_tpu.models import PointConvResNet
-from crfconv_tpu.parallel import make_mesh, replicate, shard_batch
+from crfconv_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    replicate,
+    shard_batch,
+)
 from crfconv_tpu.train.losses import weighted_cross_entropy
 from crfconv_tpu.train.train_state import (
     create_train_state,
@@ -92,11 +97,12 @@ class TestDataParallel:
         # single-device reference
         s1, m1 = jax.jit(step)(state, batch, rng)
 
-        # 8-way data parallel
+        # 8-way data parallel through the parallel-step wrapper
         mesh = make_mesh(8)
         state_r = replicate(state, mesh)
         batch_s = shard_batch(batch, mesh)
-        s8, m8 = jax.jit(step, donate_argnums=())(state_r, batch_s, rng)
+        pstep = make_parallel_train_step(step, mesh)
+        s8, m8 = pstep(state_r, batch_s, rng)
 
         np.testing.assert_allclose(
             float(m1["loss"]), float(m8["loss"]), rtol=1e-5
