@@ -17,6 +17,26 @@ Design pillars (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
-from crfconv_tpu.data.batch import PointBatch, ScaleData  # noqa: F401
+from crfconv_tpu.data.batch import PointBatch, RawBatch, ScaleData  # noqa: F401
+from crfconv_tpu.data.ply import read_ply, write_ply  # noqa: F401
+from crfconv_tpu.ops.knn_host import knn_batch  # noqa: F401
+from crfconv_tpu.ops.subsample import grid_subsample  # noqa: F401
+from crfconv_tpu.train.metrics import (  # noqa: F401
+    RunningScore,
+    RunningScoreShapeNet,
+)
+from crfconv_tpu.utils.logging import init_logger  # noqa: F401
 
-__all__ = ["PointBatch", "ScaleData", "__version__"]
+
+def get_model(name: str, **kwargs):
+    """Model registry lookup (lazy import keeps flax off the light path)."""
+    from crfconv_tpu.models import get_model as _get
+
+    return _get(name, **kwargs)
+
+
+__all__ = [
+    "PointBatch", "RawBatch", "ScaleData", "read_ply", "write_ply",
+    "knn_batch", "grid_subsample", "RunningScore", "RunningScoreShapeNet",
+    "init_logger", "get_model", "__version__",
+]
