@@ -104,9 +104,18 @@ def windowed_gather(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from crfconv_tpu.ops.windowed_pallas import windowed_gather_pallas
+        # VMEM budget: double-buffered [tile, K*F] output blocks + the
+        # window scratch must fit in ~16 MB.  Deep, wide-feature strided
+        # layers (tiny M) exceed it — they go through the XLA path, whose
+        # cost at that scale is negligible anyway.
+        f_pad = -(-F // 128) * 128
+        vmem = 2 * tile * K * F * 4 + width * f_pad * 4 + tile * width * 2
+        if vmem <= 12 * 1024 * 1024:
+            from crfconv_tpu.ops.windowed_pallas import (
+                windowed_gather_pallas,
+            )
 
-        return windowed_gather_pallas(x, idx, tile, pad)
+            return windowed_gather_pallas(x, idx, tile, pad)
 
     xp = _pad_src(x, front, width, starts)
     idx_p = jnp.pad(idx, ((0, 0), (0, m_pad), (0, 0)))
