@@ -6,6 +6,7 @@ from crfconv_tpu.data.datasets.s3dis import (  # noqa: F401
 )
 from crfconv_tpu.data.datasets.semantic3d import (  # noqa: F401
     Semantic3D,
+    Semantic3DBlockDataset,
     Semantic3DWholeDataset,
 )
 from crfconv_tpu.data.datasets.scannet import ScanNetDataset  # noqa: F401

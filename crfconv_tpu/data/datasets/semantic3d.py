@@ -17,7 +17,11 @@ from typing import List, Optional
 
 import numpy as np
 
-from crfconv_tpu.data.datasets.base import ProcessedDataset
+from crfconv_tpu.data.datasets.base import (
+    ProcessedDataset,
+    fixed_size_choice,
+    split_blocks,
+)
 from crfconv_tpu.data.ply import read_ply, write_ply
 from crfconv_tpu.data.sampler import PossibilitySampler
 from crfconv_tpu.ops.subsample import grid_subsample
@@ -227,6 +231,134 @@ class Semantic3D(ProcessedDataset):
         if self.split == "test":
             s["y"] = np.zeros(s["pos"].shape[0], np.int64)
         return s
+
+
+class Semantic3DBlockDataset(ProcessedDataset):
+    """5 m-block crops of Semantic3D clouds (reference block regime,
+    datasets/semantic3d_dataset.py:52-158): sliding windows of 5 m with
+    stride 3 m and 0.5 m padding, blocks dropped below 500 points or a
+    2% un-padded core; per-block features are the block-bottom-center-
+    normalized xyz concatenated with rgb/255.
+
+    Raw layout matches :class:`Semantic3D` (``raw/txt/<cloud>.txt`` with
+    ``.labels`` companions for the labeled clouds); an optional
+    ``grid_size`` pre-subsample bounds per-block point counts (the
+    reference's external pts→ply converter used 0.03 m).  Labels are
+    stored raw (0 = unlabeled); train with ``label_offset=1`` exactly as
+    the whole-cloud regime — equivalent to the reference's stored ``y-1``.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        num_points: int = 8192,
+        sample_per_epoch: int = -1,
+        grid_size: float = 0.0,
+    ):
+        assert split in ("train", "val", "test")
+        self.split = split
+        self.block_size = 5.0
+        self.stride = 3.0
+        self.padding = 0.5
+        self.proportion = 0.02
+        self.min_point_num = 500
+        self.num_points = num_points
+        self.sample_per_epoch = sample_per_epoch
+        self.grid_size = grid_size
+        super().__init__(root)
+
+        d = os.path.join(self.processed_dir, "blocks", split)
+        self.filelist = (
+            sorted(os.path.join(d, f) for f in os.listdir(d))
+            if os.path.isdir(d)
+            else []
+        )
+
+    def process(self):
+        import pandas as pd
+
+        names = sorted(
+            os.path.basename(f)[:-4]
+            for f in glob.glob(os.path.join(self.raw_dir, "txt", "*.txt"))
+        )
+        labeled = [
+            n
+            for n in names
+            if os.path.exists(os.path.join(self.raw_dir, "txt", n + ".labels"))
+        ]
+        val_names = {
+            n
+            for i, n in enumerate(labeled)
+            if ALL_SPLITS[i % len(ALL_SPLITS)] == VAL_SPLIT
+        }
+        for name in names:
+            if name in labeled:
+                split = "val" if name in val_names else "train"
+            else:
+                split = "test"
+            out_dir = os.path.join(self.processed_dir, "blocks", split)
+            os.makedirs(out_dir, exist_ok=True)
+            pc = pd.read_csv(
+                os.path.join(self.raw_dir, "txt", name + ".txt"),
+                header=None, sep=r"\s+", dtype=np.float32,
+            ).values
+            xyz = pc[:, :3].astype(np.float32)
+            rgb = pc[:, 4:7].astype(np.float32)
+            if split != "test":
+                y = pd.read_csv(
+                    os.path.join(self.raw_dir, "txt", name + ".labels"),
+                    header=None, sep=r"\s+", dtype=np.int32,
+                ).values.reshape(-1)
+            else:
+                y = np.zeros(xyz.shape[0], np.int32)
+            if self.grid_size > 0:
+                xyz, rgb, y = grid_subsample(xyz, rgb, y, self.grid_size)
+            xyz = xyz - xyz.min(axis=0)
+            rgb_n = rgb / 255.0
+            indices = np.arange(xyz.shape[0], dtype=np.int64)
+            count = 0
+            for idx, core in split_blocks(
+                xyz, self.block_size, self.stride, self.padding,
+                self.min_point_num, self.proportion,
+            ):
+                bxyz = xyz[idx]
+                bmin = bxyz.min(axis=0)
+                bmax = bxyz.max(axis=0)
+                center = (bmin + bmax) / 2
+                center[2] = bmin[2]  # block-bottom centering (ref :141-143)
+                np.savez_compressed(
+                    os.path.join(out_dir, f"{name}_{count:06d}.npz"),
+                    pos=bxyz,
+                    x=np.concatenate(
+                        [bxyz - center, rgb_n[idx]], axis=-1
+                    ).astype(np.float32),
+                    y=y[idx].astype(np.int32),
+                    mask=core.astype(np.int8),
+                    indices=indices[idx],
+                )
+                count += 1
+
+    def __len__(self):
+        return (
+            self.sample_per_epoch
+            if self.sample_per_epoch > 0
+            else len(self.filelist)
+        )
+
+    def get_sample(self, rng: np.random.Generator, idx: Optional[int] = None):
+        if idx is None or self.sample_per_epoch > 0:
+            idx = int(rng.integers(len(self.filelist)))
+        blob = np.load(self.filelist[idx])
+        n = blob["pos"].shape[0]
+        sel = fixed_size_choice(n, self.num_points, rng)
+        return {
+            "pos": blob["pos"][sel],
+            "x": blob["x"][sel],
+            "y": blob["y"][sel].astype(np.int64),
+            "point_idx": blob["indices"][sel],
+            "cloud_idx": np.int64(idx),
+        }
 
 
 class Semantic3DWholeDataset:

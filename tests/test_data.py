@@ -30,6 +30,39 @@ class TestPly:
         np.testing.assert_array_equal(data["class"], labels)
         assert data["r"].dtype == np.uint8
 
+    def test_mesh_roundtrip(self, tmp_path):
+        """Faces element round-trip (reference utils/ply_utils.py:260-328)."""
+        f = str(tmp_path / "mesh.ply")
+        xyz = RNG.random((20, 3)).astype(np.float32)
+        faces = RNG.integers(0, 20, (30, 3)).astype(np.int32)
+        write_ply(f, [xyz], ["x", "y", "z"], triangular_faces=faces)
+        verts, rfaces = read_ply(f, triangular_mesh=True)
+        np.testing.assert_allclose(
+            np.stack([verts["x"], verts["y"], verts["z"]], 1), xyz
+        )
+        np.testing.assert_array_equal(rfaces, faces)
+
+    def test_list_property_ragged(self, tmp_path):
+        """Generic list-property read (ascii, ragged rows)."""
+        from crfconv_tpu.data.ply import read_ply_elements
+
+        f = str(tmp_path / "ragged.ply")
+        with open(f, "w") as fh:
+            fh.write(
+                "ply\nformat ascii 1.0\n"
+                "element vertex 2\nproperty float x\n"
+                "element face 2\nproperty list uchar int vertex_indices\n"
+                "end_header\n"
+                "1.5\n2.5\n"
+                "3 0 1 2\n4 3 4 5 6\n"
+            )
+        els = read_ply_elements(f)
+        np.testing.assert_allclose(els["vertex"]["x"], [1.5, 2.5])
+        rows = els["face"]["vertex_indices"]
+        assert rows.dtype == object
+        np.testing.assert_array_equal(rows[0], [0, 1, 2])
+        np.testing.assert_array_equal(rows[1], [3, 4, 5, 6])
+
 
 class TestTransforms:
     def test_rotate_preserves_distances(self):
@@ -179,6 +212,43 @@ class TestSemantic3D:
         assert 0 <= s["y"].min() and s["y"].max() <= 8
         st = te.get_sample(np.random.default_rng(0))
         assert st["y"].sum() == 0
+
+
+class TestSemantic3DBlocks:
+    def test_block_pipeline(self, tmp_path):
+        """Block regime (reference semantic3d_dataset.py:52-158): 5 m
+        blocks / stride 3 / padding 0.5, bottom-center-normalized xyz."""
+        from crfconv_tpu.data.datasets import Semantic3DBlockDataset
+
+        root = str(tmp_path)
+        txt = os.path.join(root, "raw", "txt")
+        os.makedirs(txt)
+        for name in ("cloudA", "cloudB"):
+            pc = np.column_stack([
+                RNG.random((4000, 3)) * 8,       # xyz (8 m extent)
+                RNG.random((4000, 1)),           # intensity
+                RNG.integers(0, 255, (4000, 3)),  # rgb
+            ])
+            np.savetxt(os.path.join(txt, name + ".txt"), pc, fmt="%.4f")
+            np.savetxt(
+                os.path.join(txt, name + ".labels"),
+                RNG.integers(1, 9, 4000),
+                fmt="%d",
+            )
+        tr = Semantic3DBlockDataset(root, "train", num_points=256)
+        va = Semantic3DBlockDataset(root, "val", num_points=256)
+        # split table: cloudB (index 1) is val, cloudA train
+        assert len(tr.filelist) > 0 and len(va.filelist) > 0
+        assert all("cloudA" in f for f in tr.filelist)
+        assert all("cloudB" in f for f in va.filelist)
+        s = tr.get_sample(np.random.default_rng(0))
+        assert s["pos"].shape == (256, 3)
+        assert s["x"].shape == (256, 6)   # normalized xyz + rgb
+        # features: xy centered on the block, z from the block bottom
+        assert abs(float(s["x"][:, 0].mean())) < 2.6
+        assert float(s["x"][:, 2].min()) >= -1e-5
+        assert 0.0 <= s["x"][:, 3:].min() and s["x"][:, 3:].max() <= 1.0
+        assert 1 <= s["y"].min() and s["y"].max() <= 8
 
 
 class TestScanNet:
