@@ -155,7 +155,10 @@ class SmallCRFNet(nn.Module):
 
     steps: int = 1
     radius: Tuple[float, ...] = (0.2, 0.2, 0.2, 0.2, 0.2)
-    use_radius_mask: bool = False
+    # The reference always builds radius_graph(r=0.2, max_num_neighbors=K)
+    # for the CRF decoder (models/continuous_crf_conv.py:53); the static-
+    # shape equivalent is kNN(K) + radius mask, ON by default to match.
+    use_radius_mask: bool = True
 
     @nn.compact
     def __call__(self, batch: PointBatch, train: bool = True) -> jnp.ndarray:

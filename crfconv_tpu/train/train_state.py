@@ -177,13 +177,16 @@ def make_eval_step(
     label_offset: int = 0,
     windowed: bool = False,
 ) -> Callable:
-    def eval_step(state: TrainState, batch) -> dict:
+    def eval_step(state: TrainState, batch, rng: Optional[jax.Array] = None) -> dict:
         if windowed:
-            # deterministic pyramid at eval: key derived from the step so
-            # vote passes still see varied subsampling across epochs
-            batch = build_windowed_batch(
-                batch, jax.random.PRNGKey(0)
-            )
+            # pyramid key: explicit rng if the caller provides one (the
+            # Trainer's vote loop passes a per-pass key so each vote sees
+            # a different stratified subsample), otherwise derived from
+            # the train step — deterministic, but still varied across
+            # checkpoints.
+            if rng is None:
+                rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+            batch = build_windowed_batch(batch, rng)
         outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch,

@@ -238,6 +238,40 @@ class Trainer:
     def _place(self, batch):
         return shard_batch(batch, self.mesh) if self.mesh is not None else batch
 
+    def _eval_batch(self, state, batch, rng=None):
+        """Run the eval step, microbatched when cfg.eval_microbatch is
+        set (the full Semantic3D 16×65536 test config exceeds one chip's
+        HBM as a flat program; chunks of 8 fit and reuse one trace)."""
+        m = self.cfg.eval_microbatch
+        nb = (batch.x if hasattr(batch, "x") else batch.pos).shape[0]
+        if not m or m >= nb:
+            return (
+                self._eval_step(state, batch, rng)
+                if rng is not None
+                else self._eval_step(state, batch)
+            )
+        assert nb % m == 0, "batch_size must be divisible by eval_microbatch"
+        outs = []
+        for i in range(0, nb, m):
+            sl = jax.tree_util.tree_map(lambda a: a[i : i + m], batch)
+            outs.append(
+                self._eval_step(state, sl, rng)
+                if rng is not None
+                else self._eval_step(state, sl)
+            )
+        merged = {}
+        for k in outs[0]:
+            vals = [o[k] for o in outs]
+            if vals[0] is None:
+                merged[k] = None
+            elif k == "loss":
+                merged[k] = jnp.mean(jnp.stack(vals))
+            elif k == "confusion":
+                merged[k] = sum(vals)
+            else:
+                merged[k] = jnp.concatenate(vals, axis=0)
+        return merged
+
     def train_one_epoch(self, epoch: int) -> dict:
         self.metrics.reset()
         losses = []
@@ -262,7 +296,7 @@ class Trainer:
         losses = []
         confusion = None
         for batch in self.val_loader:
-            m = self._eval_step(self.state, self._place(batch))
+            m = self._eval_batch(self.state, self._place(batch))
             losses.append(m["loss"])
             confusion = (
                 m["confusion"]
@@ -329,9 +363,14 @@ class Trainer:
     # vote-based inference (reference trainval.py:157-327)
     # ------------------------------------------------------------------
     def _vote_epoch(self, smooth: float):
-        """One pass over the val loader accumulating running-mean probs."""
+        """One pass over the val loader accumulating running-mean probs.
+
+        Each pass gets a distinct pyramid RNG so windowed-regime votes see
+        varied stratified subsamples (the exact regime ignores the key)."""
+        self._vote_pass = getattr(self, "_vote_pass", -1) + 1
+        key = jax.random.fold_in(jax.random.PRNGKey(17), self._vote_pass)
         for batch in self.val_loader:
-            m = self._eval_step(self.state, self._place(batch))
+            m = self._eval_batch(self.state, self._place(batch), key)
             probs = np.asarray(m["probs"])             # [B, N, C]
             point_idx = np.asarray(
                 m["point_idx"] if m.get("point_idx") is not None
@@ -459,7 +498,7 @@ class Trainer:
 
         score = RunningScoreShapeNet()
         for batch in self.val_loader:
-            m = self._eval_step(self.state, self._place(batch))
+            m = self._eval_batch(self.state, self._place(batch))
             preds = np.asarray(m["preds"])
             labels = np.asarray(m["labels"])  # aligned with preds' order
             cats = np.asarray(batch.category).reshape(-1)

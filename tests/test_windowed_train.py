@@ -46,3 +46,33 @@ def test_windowed_trainer_end_to_end(cfg):
             int((p.sum(axis=1) > 0).sum()) for p in trainer.test_probs
         )
         assert touched > 0
+
+
+def test_vote_passes_vary_pyramid(cfg):
+    """Distinct vote passes must see distinct stratified subsamples
+    (VERDICT r1 weak #3): the eval step's pyramid key is caller-provided
+    and the Trainer folds in the pass index."""
+    from crfconv_tpu.train.train_state import build_windowed_batch
+
+    with neighbor_mode("windowed"):
+        trainer = Trainer(cfg, seed=0)
+        batch = next(iter(trainer.val_loader))
+        k0 = jax.random.fold_in(jax.random.PRNGKey(17), 0)
+        k1 = jax.random.fold_in(jax.random.PRNGKey(17), 1)
+
+        # the pyramids themselves differ below scale 0 ...
+        p0 = build_windowed_batch(batch, k0)
+        p1 = build_windowed_batch(batch, k1)
+        assert not np.allclose(
+            np.asarray(p0.scales[1].pos), np.asarray(p1.scales[1].pos)
+        )
+        # ... and so do the eval outputs; same key → identical outputs
+        m0 = trainer._eval_step(trainer.state, batch, k0)
+        m0b = trainer._eval_step(trainer.state, batch, k0)
+        m1 = trainer._eval_step(trainer.state, batch, k1)
+        assert np.allclose(
+            np.asarray(m0["probs"]), np.asarray(m0b["probs"])
+        )
+        assert not np.allclose(
+            np.asarray(m0["probs"]), np.asarray(m1["probs"])
+        )
