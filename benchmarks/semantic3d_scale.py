@@ -1,9 +1,14 @@
-"""Semantic3D-scale measurement: windowed e2e inference at 16×65536.
+"""Semantic3D-scale measurement: windowed e2e inference at the FULL
+reference test config 16×65536 (configure.py:144,149) and at 8×65536.
 
 The exact regime cannot build this pyramid on device in reasonable time
 (top_k over 65536-wide rows costs ~5 s/scale); the windowed regime's
-O(N·W) search makes the full config tractable.  Prints a JSON line like
-bench.py (not the headline metric — an auxiliary scale datapoint).
+O(N·W) search makes the full config tractable.  16×65536 inference
+intermediates exceed one v5e's 16 GB HBM in a flat program, so the batch
+is microbatched on-device with ``lax.map`` over chunks of 8 — one
+chunk's intermediates live at a time, single dispatch, same jitted
+sub-program as the 8×65536 case.  Prints a JSON line per config (not the
+headline metric — auxiliary scale datapoints).
 
 Run: python benchmarks/semantic3d_scale.py
 """
@@ -21,15 +26,13 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-# batch 8 (not the reference's 16): inference intermediates at 16x65536
-# exceed one v5e's 16 GB HBM without rematerialization; 8 fits.
-BATCH = 8
 POINTS = 65536
 IN_CHANNELS = 6
 N_CLASSES = 8
+MICRO = 8          # chunk size that fits one chip's HBM
 
 
-def main():
+def measure(batch: int) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -41,46 +44,72 @@ def main():
     from crfconv_tpu.utils import device_time
 
     rng = np.random.default_rng(0)
-    pos = jnp.asarray(rng.random((BATCH, POINTS, 3), dtype=np.float32))
+    pos = jnp.asarray(rng.random((batch, POINTS, 3), dtype=np.float32))
     feats = jnp.asarray(
-        rng.random((BATCH, POINTS, IN_CHANNELS), dtype=np.float32)
+        rng.random((batch, POINTS, IN_CHANNELS), dtype=np.float32)
     )
     model = PointConvResNet(n_classes=N_CLASSES, use_crf=True, steps=1)
+    nc = max(batch // MICRO, 1)
+    micro = min(batch, MICRO)
 
     with neighbor_mode("windowed"):
-        order, scales = build_pyramid_windowed(pos, key=jax.random.PRNGKey(0))
-        x0 = jnp.take_along_axis(feats, order[..., None], axis=1)
+
+        def forward(pos_c, x_c, key):
+            order, scales = build_pyramid_windowed(pos_c, key=key)
+            x = jnp.take_along_axis(x_c, order[..., None], axis=1)
+            return PointBatch(x=x, y=None, scales=scales)
+
+        b0 = forward(pos[:micro], feats[:micro], jax.random.PRNGKey(0))
         variables = model.init(
             {"params": jax.random.PRNGKey(0),
              "dropout": jax.random.PRNGKey(1)},
-            PointBatch(x=x0, y=None, scales=scales),
-            train=False,
+            b0, train=False,
         )
+
+        def chunk_apply(args):
+            pos_c, x_c, key = args
+            out = model.apply(
+                variables, forward(pos_c, x_c, key), train=False
+            )
+            return out
 
         def step(carry):
             p, key = carry
             key, sub = jax.random.split(key)
-            order, scales = build_pyramid_windowed(p, key=sub)
-            x = jnp.take_along_axis(feats, order[..., None], axis=1)
-            out = model.apply(
-                variables, PointBatch(x=x, y=None, scales=scales),
-                train=False,
+            keys = jax.random.split(sub, nc)
+            out = jax.lax.map(
+                chunk_apply,
+                (
+                    p.reshape(nc, micro, POINTS, 3),
+                    feats.reshape(nc, micro, POINTS, IN_CHANNELS),
+                    keys,
+                ),
             )
+            out = out.reshape(batch, POINTS, N_CLASSES)
             return (p + 1e-9 * out[..., :3], key)
 
         t = device_time(step, (pos, jax.random.PRNGKey(2)), iters=4)
+    return batch * POINTS / t, t
 
-    print(
-        json.dumps(
-            {
-                "metric": "Semantic3D-config e2e inference "
-                f"({BATCH}x{POINTS}, windowed regime)",
-                "value": round(BATCH * POINTS / t, 1),
-                "unit": "points/sec/chip",
-                "ms_per_batch": round(t * 1e3, 1),
-            }
+
+def main():
+    for batch in (8, 16):
+        pps, t = measure(batch)
+        print(
+            json.dumps(
+                {
+                    "metric": "Semantic3D-config e2e inference "
+                    f"({batch}x{POINTS}, windowed regime"
+                    + (f", lax.map microbatch {MICRO}" if batch > MICRO
+                       else "")
+                    + ")",
+                    "value": round(pps, 1),
+                    "unit": "points/sec/chip",
+                    "ms_per_batch": round(t * 1e3, 1),
+                }
+            ),
+            flush=True,
         )
-    )
 
 
 if __name__ == "__main__":

@@ -81,6 +81,11 @@ class Config:
     neighbor_regime: str = "exact"
     # compute dtype for model matmuls: 'float32' (parity) or 'bfloat16'
     compute_dtype: str = "float32"
+    # eval-time microbatching: split each eval batch into chunks of this
+    # size (0 = off).  Lets the full Semantic3D test config (16×65536,
+    # reference configure.py:144,149) run on one chip whose HBM a flat
+    # 16-batch program exceeds; the jitted chunk step is traced once.
+    eval_microbatch: int = 0
     # checkpointing
     checkpoint_dir: str = "checkpoints"
     model_path: Optional[str] = None

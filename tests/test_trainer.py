@@ -55,6 +55,37 @@ class TestTrainer:
             assert "Overall Acc" in res
 
 
+class TestEvalMicrobatch:
+    def test_microbatched_eval_matches_flat(self, tiny_cfg):
+        """cfg.eval_microbatch must reproduce the flat eval exactly:
+        same confusion counts, concatenated per-point outputs, and the
+        chunk-mean loss equals the flat loss when chunks are equal-sized
+        and unweighted (uniform class weights on synthetic labels)."""
+        import dataclasses
+
+        import jax
+
+        trainer = Trainer(tiny_cfg, seed=0)
+        batch = next(iter(trainer.val_loader))
+        flat = trainer._eval_batch(trainer.state, batch)
+
+        cfg2 = dataclasses.replace(tiny_cfg, eval_microbatch=1)
+        trainer.cfg = cfg2
+        micro = trainer._eval_batch(trainer.state, batch)
+        trainer.cfg = tiny_cfg
+
+        np.testing.assert_array_equal(
+            np.asarray(flat["confusion"]), np.asarray(micro["confusion"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(flat["probs"]), np.asarray(micro["probs"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(flat["preds"]), np.asarray(micro["preds"])
+        )
+
+
 class TestCheckpointManager:
     def test_atomic_save_best_and_retention(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path), keep=2)
