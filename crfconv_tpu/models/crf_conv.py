@@ -70,7 +70,10 @@ class ContinuousCRFConv(nn.Module):
         s = gaussian_similarity(y, nidx, neighbors=yn)   # [B, N, K-1]
 
         c = self.param("c", eye_init, (hidden, hidden))
-        x = crf_mean_field(x, s, nidx, c, steps=self.steps, neighbors0=zn)
+        x = crf_mean_field(
+            x, s, nidx, c, steps=self.steps, neighbors0=zn,
+            allow_fused=not train,
+        )
 
         x = MLP(self.out_features, activation=leaky_relu01, name="out_nn")(
             x, train=train
@@ -130,5 +133,7 @@ class GuideCRFConv(nn.Module):
 
         s = gaussian_similarity(yh, nidx, mask=nmask)
         c = self.param("c", eye_init, (self.out_features, self.out_features))
-        out = crf_mean_field(xh, s, nidx, c, steps=self.steps)
+        out = crf_mean_field(
+            xh, s, nidx, c, steps=self.steps, allow_fused=not train
+        )
         return leaky_relu001(out)

@@ -54,47 +54,30 @@ def gaussian_similarity(
 
 
 def _spd_inverse(m: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of a small SPD matrix via Cholesky (f32, MXU-irrelevant)."""
-    m = m.astype(jnp.float32)
+    """Inverse of a small SPD matrix via Cholesky (≥f32, MXU-irrelevant)."""
+    m = m.astype(jnp.promote_types(m.dtype, jnp.float32))
     chol = jax.lax.linalg.cholesky(m)
-    eye = jnp.eye(m.shape[-1], dtype=jnp.float32)
+    eye = jnp.eye(m.shape[-1], dtype=m.dtype)
     inv_l = jax.lax.linalg.triangular_solve(
         chol, eye, left_side=True, lower=True
     )
     return jnp.dot(inv_l.T, inv_l, precision=jax.lax.Precision.HIGHEST)
 
 
-@partial(jax.jit, static_argnames=("steps",))
-def crf_mean_field(
+def _crf_scan(
     z: jnp.ndarray,
     s: jnp.ndarray,
     neighbor_idx: jnp.ndarray,
     c: jnp.ndarray,
-    steps: int = 1,
+    steps: int,
     neighbors0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Run ``steps`` mean-field iterations of the continuous Gaussian CRF.
-
-    Args:
-      z:            [B, N, H] unary features (initial state).
-      s:            [B, N, K] neighbor affinities (rows sum to ≤ 1).
-      neighbor_idx: [B, N, K] int32 neighbor indices.
-      c:            [H, H] unconstrained compatibility parameter; the PSD
-                    compatibility used is C = cᵀ c (reference
-                    continuous_crf_conv_big.py:66).
-      steps:        number of mean-field iterations (static).
-      neighbors0:   optional pre-gathered neighbors of the INITIAL state z
-                    ([B, N, K, H]).  Callers that already gather other
-                    tensors with the same indices can ride z along and
-                    skip this function's first gather (gather cost on TPU
-                    is index-count-bound, so fusing gathers is free).
-
-    Returns:
-      x: [B, N, H] refined features.
-    """
+    """XLA lax.scan implementation of the mean-field loop (reference
+    math, one gather per step).  Differentiable; also serves as the
+    backward path of the fused kernel."""
     h = z.shape[-1]
     C = jnp.dot(c.T, c, precision=jax.lax.Precision.HIGHEST)
-    inv = _spd_inverse(jnp.eye(h, dtype=jnp.float32) + C)
+    inv = _spd_inverse(jnp.eye(h, dtype=C.dtype) + C)
     C = C.astype(z.dtype)
     inv = inv.astype(z.dtype)
 
@@ -118,6 +101,87 @@ def crf_mean_field(
         remaining = steps - 1
     x, _ = jax.lax.scan(body, x, None, length=remaining)
     return x
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas path (windowed regime): forward = on-chip iterate kernel,
+# backward = VJP of the scan implementation (identical math).
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _crf_fused(z, s, neighbor_idx, c, steps, tile, pad):
+    from crfconv_tpu.ops.crf_pallas import crf_mean_field_windowed_fused
+
+    return crf_mean_field_windowed_fused(
+        z, s, neighbor_idx, c, steps, tile, pad
+    )
+
+
+def _crf_fused_fwd(z, s, neighbor_idx, c, steps, tile, pad):
+    out = _crf_fused(z, s, neighbor_idx, c, steps, tile, pad)
+    return out, (z, s, neighbor_idx, c)
+
+
+def _crf_fused_bwd(steps, tile, pad, res, g):
+    z, s, neighbor_idx, c = res
+    _, vjp = jax.vjp(
+        lambda z_, s_, c_: _crf_scan(z_, s_, neighbor_idx, c_, steps),
+        z, s, c,
+    )
+    dz, ds, dc = vjp(g)
+    return dz, ds, None, dc
+
+
+_crf_fused.defvjp(_crf_fused_fwd, _crf_fused_bwd)
+
+
+@partial(jax.jit, static_argnames=("steps", "allow_fused"))
+def crf_mean_field(
+    z: jnp.ndarray,
+    s: jnp.ndarray,
+    neighbor_idx: jnp.ndarray,
+    c: jnp.ndarray,
+    steps: int = 1,
+    neighbors0: Optional[jnp.ndarray] = None,
+    allow_fused: bool = False,
+) -> jnp.ndarray:
+    """Run ``steps`` mean-field iterations of the continuous Gaussian CRF.
+
+    Args:
+      z:            [B, N, H] unary features (initial state).
+      s:            [B, N, K] neighbor affinities (rows sum to ≤ 1).
+      neighbor_idx: [B, N, K] int32 neighbor indices.
+      c:            [H, H] unconstrained compatibility parameter; the PSD
+                    compatibility used is C = cᵀ c (reference
+                    continuous_crf_conv_big.py:66).
+      steps:        number of mean-field iterations (static).
+      neighbors0:   optional pre-gathered neighbors of the INITIAL state z
+                    ([B, N, K, H]).  Callers that already gather other
+                    tensors with the same indices can ride z along and
+                    skip this function's first gather (gather cost on TPU
+                    is index-count-bound, so fusing gathers is free).
+      allow_fused:  permit dispatch to the fused Pallas kernel.  Taken in
+                    the windowed regime on TPU at steps ≥ 2 (where the
+                    scan pays one HBM round-trip per step); models pass
+                    ``not train`` so training keeps the natively
+                    differentiable scan (the fused VJP would re-run it).
+
+    Returns:
+      x: [B, N, H] refined features.
+    """
+    from crfconv_tpu.ops.neighbors import get_neighbor_mode
+
+    mode = get_neighbor_mode()
+    if (
+        allow_fused
+        and steps >= 2
+        and mode["mode"] == "windowed"
+        and jax.default_backend() == "tpu"
+    ):
+        return _crf_fused(
+            z, s, neighbor_idx, c, steps, mode["tile"], mode["pad"]
+        )
+    return _crf_scan(z, s, neighbor_idx, c, steps, neighbors0)
 
 
 def discrete_crf_update(
