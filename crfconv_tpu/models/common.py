@@ -86,7 +86,8 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (features,))
 
         if train:
-            xf = x.astype(jnp.float32)
+            # statistics at least f32; f64 inputs (x64 parity tests) keep f64
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             reduce_axes = tuple(range(x.ndim - 1))
             if mask is None:
                 count = jnp.asarray(

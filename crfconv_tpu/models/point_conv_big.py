@@ -152,6 +152,7 @@ class PointConvResNet(nn.Module):
     use_crf: bool = True
     steps: int = 1
     layers: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(
@@ -220,7 +221,7 @@ class PointConvResNet(nn.Module):
         x = MLP(L[0] * 4, activation=leaky_relu01, name="classifier_0")(
             x, train=train
         )
-        x = nn.Dropout(rate=0.5, deterministic=not train)(x)
+        x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(
             self.n_classes,
             name="classifier_1",

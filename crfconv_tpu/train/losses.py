@@ -36,8 +36,10 @@ def weighted_cross_entropy(
       scalar loss.
     """
     n_classes = scores.shape[-1]
-    # loss math always in f32 (scores may arrive bf16 in mixed precision)
-    logp = jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1)
+    # loss math at ≥f32 (scores may arrive bf16 in mixed precision)
+    logp = jax.nn.log_softmax(
+        scores.astype(jnp.promote_types(scores.dtype, jnp.float32)), axis=-1
+    )
     labels = labels.reshape(-1)
     logp = logp.reshape(-1, n_classes)
 
