@@ -36,8 +36,18 @@ class MultiscaleLoader:
         prefetch: int = 2,
         device_put: bool = True,
         emit: str = "pyramid",   # 'pyramid' -> PointBatch, 'raw' -> RawBatch
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """``num_shards``/``shard_index`` shard the input pipeline across
+        host processes (SURVEY.md §7: per-process input sharding): each
+        process draws an independent sample stream (seed folded with the
+        shard index) and owns 1/num_shards of the per-epoch batches;
+        ``batch_size`` is the PER-PROCESS batch.  Pass
+        ``num_shards=jax.process_count(), shard_index=jax.process_index()``
+        on a multi-host mesh."""
         assert emit in ("pyramid", "raw")
+        assert 0 <= shard_index < num_shards
         self.emit = emit
         self.dataset = dataset
         self.batch_size = batch_size
@@ -47,12 +57,18 @@ class MultiscaleLoader:
         self.dilations = dilations
         self.sample_method = sample_method
         self.transform = transform
-        self.rng = np.random.default_rng(seed)
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.rng = np.random.default_rng(
+            np.random.SeedSequence([seed, shard_index])
+            if num_shards > 1
+            else seed
+        )
         self.prefetch = prefetch
         self.device_put = device_put
 
     def __len__(self) -> int:
-        return max(len(self.dataset) // self.batch_size, 1)
+        return max(len(self.dataset) // (self.batch_size * self.num_shards), 1)
 
     # ------------------------------------------------------------------
     def _assemble(self) -> PointBatch:

@@ -1,4 +1,5 @@
 from crfconv_tpu.parallel.sharding import (  # noqa: F401
+    make_global_batch,
     make_mesh,
     shard_batch,
     shard_points,

@@ -77,6 +77,30 @@ def shard_points(batch, mesh: Mesh, axis: str = "data"):
     )
 
 
+def make_global_batch(local_batch, mesh: Mesh, axis: str = "data"):
+    """Assemble a globally-sharded batch from per-process local shards.
+
+    Multi-host flow (SURVEY.md §7): every process runs its own
+    MultiscaleLoader shard (num_shards=jax.process_count()) producing a
+    LOCAL batch of per-process size; this helper forms the global jax
+    Arrays whose leading axis is sharded over the whole mesh, with each
+    process contributing its addressable slice.  On a single process it
+    degenerates to shard_batch.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh, axis)
+
+    def to_global(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        sharding = NamedSharding(mesh, _batch_spec(x, axis))
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        )
+
+    return jax.tree_util.tree_map(to_global, local_batch)
+
+
 def make_parallel_train_step(
     train_step: Callable, mesh: Mesh, axis: str = "data"
 ) -> Callable:

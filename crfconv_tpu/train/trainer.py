@@ -147,6 +147,14 @@ class Trainer:
             sample_method=cfg.sample_method,
             emit="raw" if windowed else "pyramid",
         )
+        if jax.process_count() > 1:
+            # multi-host: each process loads its own input shard
+            # (batch_size is per-process) and _place assembles global
+            # arrays via make_global_batch
+            loader_kw.update(
+                num_shards=jax.process_count(),
+                shard_index=jax.process_index(),
+            )
         self.train_loader = MultiscaleLoader(
             train_set, cfg.batch_size, transform=train_tf, seed=seed,
             **loader_kw,
@@ -236,7 +244,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _place(self, batch):
-        return shard_batch(batch, self.mesh) if self.mesh is not None else batch
+        if self.mesh is None:
+            return batch
+        from crfconv_tpu.parallel import make_global_batch
+
+        return make_global_batch(batch, self.mesh)
 
     def _eval_batch(self, state, batch, rng=None):
         """Run the eval step, microbatched when cfg.eval_microbatch is

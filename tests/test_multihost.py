@@ -1,0 +1,58 @@
+"""Multi-host input-sharding semantics (single-process harness).
+
+True multi-process meshes can't run in this environment; these tests pin
+the per-process contracts: loader shards divide the epoch and draw
+independent streams, and make_global_batch degenerates to shard_batch on
+one process (jax.make_array_from_process_local_data handles the >1 case
+by construction).
+"""
+
+import numpy as np
+import jax
+
+from crfconv_tpu.data.loader import MultiscaleLoader
+from crfconv_tpu.data.pipeline import synthetic_batch
+from crfconv_tpu.parallel import make_global_batch, make_mesh, shard_batch
+
+
+class _ToyDataset:
+    def __len__(self):
+        return 16
+
+    def get_sample(self, rng, idx=None):
+        n = 64
+        return {
+            "pos": rng.random((n, 3)).astype(np.float32),
+            "x": rng.random((n, 6)).astype(np.float32),
+            "y": rng.integers(0, 4, n),
+        }
+
+
+def test_loader_shards_divide_epoch_and_diverge():
+    ds = _ToyDataset()
+    full = MultiscaleLoader(ds, 2, prefetch=0, seed=3)
+    s0 = MultiscaleLoader(
+        ds, 2, prefetch=0, seed=3, num_shards=2, shard_index=0
+    )
+    s1 = MultiscaleLoader(
+        ds, 2, prefetch=0, seed=3, num_shards=2, shard_index=1
+    )
+    assert len(full) == 8
+    assert len(s0) == len(s1) == 4
+    b0 = next(iter(s0))
+    b1 = next(iter(s1))
+    # independent per-shard sample streams
+    assert not np.allclose(np.asarray(b0.x), np.asarray(b1.x))
+
+
+def test_make_global_batch_single_process_matches_shard_batch():
+    assert jax.process_count() == 1
+    batch = synthetic_batch(8, 128, 6, 4, seed=0)
+    mesh = make_mesh(8)
+    a = make_global_batch(batch, mesh)
+    b = shard_batch(batch, mesh)
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    ):
+        assert la.sharding == lb.sharding
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
