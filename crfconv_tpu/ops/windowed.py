@@ -29,6 +29,7 @@ each output tile.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -75,6 +76,7 @@ def _pad_src(x, front: int, width: int, starts, value: float = 0.0):
     )
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def windowed_gather(
     x: jnp.ndarray,
     idx: jnp.ndarray,
@@ -83,6 +85,10 @@ def windowed_gather(
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Gather neighbors assuming window-consistent indices.
+
+    Differentiable: the Pallas forward has no JVP rule, so a custom VJP
+    supplies the gather transpose (a scatter-add of the cotangent at the
+    indices) -- this is what unlocks windowed-regime TRAINING on TPU.
 
     Args:
       x:   [B, N_src, F] source features.
@@ -95,6 +101,38 @@ def windowed_gather(
     Returns:
       [B, M, K, F].
     """
+    return _windowed_gather_impl(x, idx, tile, pad, use_pallas)
+
+
+def _windowed_gather_fwd(x, idx, tile, pad, use_pallas):
+    # x rides in the residuals only for its static shape/dtype (raw
+    # shape/dtype objects are not valid residual leaves)
+    return _windowed_gather_impl(x, idx, tile, pad, use_pallas), (idx, x)
+
+
+def _windowed_gather_bwd(tile, pad, use_pallas, res, g):
+    idx, x = res
+    B, N, F = x.shape
+    x_dtype = x.dtype
+    M, K = idx.shape[1], idx.shape[2]
+    dx = jnp.zeros((B, N, F), jnp.promote_types(x_dtype, jnp.float32))
+    b_ix = jnp.arange(B, dtype=jnp.int32)[:, None]
+    dx = dx.at[b_ix, idx.reshape(B, M * K)].add(
+        g.reshape(B, M * K, F).astype(dx.dtype), mode="promise_in_bounds"
+    )
+    return (dx.astype(x_dtype), None)
+
+
+windowed_gather.defvjp(_windowed_gather_fwd, _windowed_gather_bwd)
+
+
+def _windowed_gather_impl(
+    x: jnp.ndarray,
+    idx: jnp.ndarray,
+    tile: int = TILE,
+    pad: int = PAD,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
     B, n_src, F = x.shape
     M, K = idx.shape[1], idx.shape[2]
     starts, width, front = window_starts(M, n_src, tile, pad)

@@ -88,11 +88,17 @@ def create_train_state(
 
 def build_windowed_batch(raw, rng: jax.Array) -> PointBatch:
     """Jittable: RawBatch → Morton-sorted PointBatch with a windowed
-    pyramid (the full input structure is built on-device)."""
+    pyramid (the full input structure is built on-device).  Geometry
+    (tile/pad) follows set_neighbor_mode so the builder and every gather
+    always agree on the windows."""
     from crfconv_tpu.data.batch import RawBatch  # noqa: F401
+    from crfconv_tpu.ops.neighbors import get_neighbor_mode
     from crfconv_tpu.ops.windowed import build_pyramid_windowed
 
-    order, scales = build_pyramid_windowed(raw.pos, key=rng)
+    mode = get_neighbor_mode()
+    order, scales = build_pyramid_windowed(
+        raw.pos, key=rng, tile=mode["tile"], pad=mode["pad"]
+    )
     take = lambda a: (
         None
         if a is None

@@ -79,6 +79,38 @@ class TestWindowedGather:
         ref = np.stack([x[b][idx[b]] for b in range(2)])
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
 
+    def test_gather_grad_matches_exact(self):
+        """Custom VJP (scatter-add transpose): grads through the windowed
+        gather equal grads through the exact gather on the same indices
+        (this is the rule that unlocks windowed TRAINING on TPU, where
+        the Pallas forward has no JVP)."""
+        import jax
+        import jax.numpy as jnp
+
+        n, k, f = 256, 8, 5
+        idx = np.clip(
+            np.arange(n)[None, :, None] + RNG.integers(-64, 64, (2, n, k)),
+            0, n - 1,
+        ).astype(np.int32)
+        x = jnp.asarray(RNG.random((2, n, f)).astype(np.float32))
+        w = jnp.asarray(RNG.random((2, n, k, f)).astype(np.float32))
+        idxj = jnp.asarray(idx)
+
+        g_w = jax.grad(
+            lambda x_: jnp.sum(windowed_gather(x_, idxj) * w)
+        )(x)
+        g_e = jax.grad(
+            lambda x_: jnp.sum(
+                jnp.take_along_axis(
+                    x_, idxj.reshape(2, n * k, 1), axis=1
+                ).reshape(2, n, k, f)
+                * w
+            )
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(g_w), np.asarray(g_e), rtol=1e-5, atol=1e-6
+        )
+
     def test_pallas_interpret_matches(self):
         from crfconv_tpu.ops.windowed_pallas import windowed_gather_pallas
 
