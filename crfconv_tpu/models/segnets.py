@@ -21,6 +21,27 @@ from crfconv_tpu.models.point_conv_small import SmallBaselineNet, SmallCRFNet
 
 NUM_SHAPENET_CATEGORIES = 16
 
+# the discrete CRF's neighborhood matches the reference's dedicated
+# radius_graph(r=0.2, max_num_neighbors=32) built per call
+# (models/discrete_crf_conv.py:44): kNN(32) + the radius mask inside
+# DiscreteCRFConv, independent of the encoder pyramid's K.
+DISCRETE_CRF_K = 32
+
+
+def _discrete_crf_idx(pos):
+    """Self-inclusive kNN(32) at the finest scale, rebuilt per forward
+    exactly as the reference rebuilds its graph; window-consistent in the
+    windowed regime so downstream gathers stay valid."""
+    from crfconv_tpu.ops.neighbors import get_neighbor_mode, knn_bruteforce
+
+    k = min(DISCRETE_CRF_K, pos.shape[1])
+    mode = get_neighbor_mode()
+    if mode["mode"] == "windowed":
+        from crfconv_tpu.ops.windowed import window_knn
+
+        return window_knn(pos, k, tile=mode["tile"], pad=mode["pad"])
+    return knn_bruteforce(pos, pos, k)
+
 
 class _Classifier(nn.Module):
     """ReLU-MLP classifier head: Dense(hidden) → ReLU → Dense(n_classes)."""
@@ -119,7 +140,7 @@ class BaselineDiscreteCRFSegNet(nn.Module):
             batch.scales[0].pos,
             p,
             batch.x,
-            batch.scales[0].neighbor_idx,
+            _discrete_crf_idx(batch.scales[0].pos),
             train=train,
         )
         return jnp.log(jnp.maximum(p, 1e-12)), jnp.log(jnp.maximum(q, 1e-12))
@@ -150,7 +171,7 @@ class DualCRFSegNet(nn.Module):
             batch.scales[0].pos,
             p,
             batch.x,
-            batch.scales[0].neighbor_idx,
+            _discrete_crf_idx(batch.scales[0].pos),
             train=train,
         )
         return jnp.log(jnp.maximum(p, 1e-12)), jnp.log(jnp.maximum(q, 1e-12))
