@@ -115,6 +115,19 @@ def _windowed_gather_bwd(tile, pad, use_pallas, res, g):
     B, N, F = x.shape
     x_dtype = x.dtype
     M, K = idx.shape[1], idx.shape[2]
+    pallas_ok = (
+        use_pallas if use_pallas is not None
+        else jax.default_backend() == "tpu"
+    )
+    if pallas_ok and M == N:
+        # same-scale gathers (the hot path): MXU transpose kernel +
+        # overlap-add instead of an index-serial scatter
+        from crfconv_tpu.ops.windowed_pallas import (
+            windowed_gather_bwd_pallas,
+        )
+
+        dx = windowed_gather_bwd_pallas(g, idx, N, tile, pad)
+        return (dx.astype(x_dtype), None)
     dx = jnp.zeros((B, N, F), jnp.promote_types(x_dtype, jnp.float32))
     b_ix = jnp.arange(B, dtype=jnp.int32)[:, None]
     dx = dx.at[b_ix, idx.reshape(B, M * K)].add(

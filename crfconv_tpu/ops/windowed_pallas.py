@@ -107,6 +107,104 @@ def _kernel_small(
         )
 
 
+def _bwd_kernel(
+    rel_ref, g_ref, wg_ref, *, width, tile, k_cols, feat,
+):
+    """Transpose of the gather, per tile: wg = Σ_k ohᵀ_k @ g_k.
+
+    ohᵀ builds directly as [W, tile] from the lane-row rel[k] (no
+    relayout); g is hi/lo split so the backward keeps ~f32 fidelity at
+    bf16 MXU rate.  The caller overlap-adds the per-tile windows.
+    """
+    rel = rel_ref[0, 0]                          # [K, tile] int32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (width, tile), 0)
+    acc = jnp.zeros((width, feat), jnp.float32)
+    for k in range(k_cols):
+        ohT = (rel[k : k + 1, :] == iota).astype(jnp.bfloat16)
+        gk = g_ref[0, :, k * feat : (k + 1) * feat]   # [tile, F] f32
+        ghi = gk.astype(jnp.bfloat16)
+        glo = (gk - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc += jnp.dot(ohT, ghi, preferred_element_type=jnp.float32)
+        acc += jnp.dot(ohT, glo, preferred_element_type=jnp.float32)
+    wg_ref[0, 0] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_src", "tile", "pad", "interpret")
+)
+def windowed_gather_bwd_pallas(
+    g: jnp.ndarray,
+    idx: jnp.ndarray,
+    n_src: int,
+    tile: int = 128,
+    pad: int = 192,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """VJP of the same-scale windowed gather: dx[b, idx[b,m,k]] += g[b,m,k].
+
+    Requires M == n_src (stride-1 windows, starts = t·tile exactly), the
+    geometry of every neighbor gather on the hot path.  Per tile the
+    contribution to its window is a transposed one-hot matmul (Pallas,
+    MXU); the overlapping windows are then folded with W/tile static
+    shifted adds in XLA — no scatter anywhere.
+    """
+    from crfconv_tpu.ops.windowed import window_starts
+
+    B, M, K, F = g.shape
+    assert M == n_src, "fast windowed-gather bwd requires same-scale geometry"
+    starts, width, front = window_starts(M, n_src, tile, pad)
+    nt = starts.shape[0]
+    assert int(starts[0]) == 0 and (nt == 1 or int(starts[1]) == tile)
+    assert width % tile == 0
+    m_pad = nt * tile - M
+
+    idx_p = jnp.pad(idx, ((0, 0), (0, m_pad), (0, 0)))
+    g_p = jnp.pad(
+        g.astype(jnp.float32).reshape(B, M, K * F),
+        ((0, 0), (0, m_pad), (0, 0)),
+    )
+    tile_off = (jnp.arange(nt, dtype=jnp.int32) * tile)[None, :, None, None]
+    rel = jnp.clip(
+        idx_p.reshape(B, nt, tile, K).astype(jnp.int32) + front - tile_off,
+        0, width - 1,
+    )
+    relT = jnp.swapaxes(rel, 2, 3)               # [B, nt, K, tile]
+
+    wg = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, width=width, tile=tile, k_cols=K, feat=F
+        ),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, K, tile), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile, K * F), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, width, F), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nt, width, F), jnp.float32),
+        interpret=interpret,
+    )(relT, g_p)
+
+    # overlap-add: window t covers xp rows [t·tile, t·tile + width);
+    # fold its width/tile blocks onto the padded axis with static shifts
+    npad = (nt - 1) * tile + width
+    dx_p = jnp.zeros((B, npad, F), jnp.float32)
+    blocks = wg.reshape(B, nt, width // tile, tile, F)
+    for j in range(width // tile):
+        dx_p = dx_p.at[:, j * tile : j * tile + nt * tile].add(
+            blocks[:, :, j].reshape(B, nt * tile, F)
+        )
+    return dx_p[:, front : front + n_src]
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "pad", "interpret"))
 def windowed_gather_pallas(
     x: jnp.ndarray,

@@ -111,6 +111,36 @@ class TestWindowedGather:
             np.asarray(g_w), np.asarray(g_e), rtol=1e-5, atol=1e-6
         )
 
+    def test_pallas_bwd_matches_scatter(self):
+        """Fast same-scale gather VJP (transposed one-hot matmul +
+        overlap-add) equals the scatter-add transpose."""
+        import jax.numpy as jnp
+
+        from crfconv_tpu.ops.windowed_pallas import (
+            windowed_gather_bwd_pallas,
+        )
+
+        B, n, k, f = 2, 256, 15, 16
+        idx = np.clip(
+            np.arange(n)[None, :, None] + RNG.integers(-64, 64, (B, n, k)),
+            0, n - 1,
+        ).astype(np.int32)
+        g = RNG.standard_normal((B, n, k, f)).astype(np.float32)
+        dx = np.asarray(
+            windowed_gather_bwd_pallas(
+                jnp.asarray(g), jnp.asarray(idx), n, interpret=True
+            )
+        )
+        ref = np.zeros((B, n, f), np.float32)
+        np.add.at(
+            ref,
+            (np.arange(B)[:, None], idx.reshape(B, n * k)),
+            g.reshape(B, n * k, f),
+        )
+        # atol at the hi/lo-bf16 split error floor (~2e-17 of the
+        # summand scale): near-cancelling rows keep that absolute floor
+        np.testing.assert_allclose(dx, ref, rtol=1e-3, atol=5e-4)
+
     def test_pallas_interpret_matches(self):
         from crfconv_tpu.ops.windowed_pallas import windowed_gather_pallas
 
