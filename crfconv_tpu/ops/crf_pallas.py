@@ -157,8 +157,8 @@ def crf_mean_field_windowed_fused(
     idx: jnp.ndarray,
     c: jnp.ndarray,
     steps: int,
-    tile: int = 128,
-    pad: int = 192,
+    tile: int = 64,
+    pad: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused windowed CRF mean field; same contract as crf_mean_field.
@@ -174,17 +174,25 @@ def crf_mean_field_windowed_fused(
     K = idx.shape[-1]
     if steps == 0:
         return z
+    # The PYRAMID geometry (tile, pad) bounds where indices can live; the
+    # kernel uses its own 128-row tiles so every VMEM slice is
+    # lane-aligned regardless of the pyramid's tile.  Coverage: a row m
+    # in kernel-tile i has idx ∈ [t0·tile − front0, t0·tile − front0 +
+    # width0) for t0 = m // tile, so the kernel window needs
+    # [i·TF − front0, i·TF + TF − tile − front0 + width0).
     starts0, width0, front0 = window_starts(N, N, tile, pad)
-    nt = starts0.shape[0]
-    # same-scale geometry ⇒ starts are exact tile multiples (stride 1)
-    assert int(starts0[0]) == 0 and (nt == 1 or int(starts0[1]) == tile), (
-        "fused CRF requires same-scale windows"
-    )
+    # same-scale geometry ⇒ pyramid starts are exact tile multiples
+    assert int(starts0[0]) == 0 and (
+        starts0.shape[0] == 1 or int(starts0[1]) == tile
+    ), "fused CRF requires same-scale windows"
+    tf = 128                      # kernel tile: lane-aligned row blocks
+    nt = -(-N // tf)
     front = _round_up(front0, 128)
-    w = _round_up(front - front0 + width0, 128)
-    npad = _round_up(max((nt - 1) * tile + w, front + nt * tile), 128)
+    w = _round_up(front - front0 + max(tf - tile, 0) + width0, 128)
+    npad = _round_up(max((nt - 1) * tf + w, front + nt * tf), 128)
     hp = max(_round_up(H, 8), 16)
-    mpad = nt * tile - N
+    mpad = nt * tf - N
+    tile = tf                     # all kernel-side math below uses TF
 
     idx_p = jnp.pad(idx, ((0, 0), (0, mpad), (0, 0)))
     s_p = jnp.pad(s.astype(jnp.float32), ((0, 0), (0, mpad), (0, 0)))

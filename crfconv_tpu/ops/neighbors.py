@@ -22,10 +22,10 @@ import jax.numpy as jnp
 # pyramid (ops/windowed.py) and turns every gather into per-tile one-hot
 # matmuls on the MXU.  The switch is read at TRACE time — set it before
 # jitting the model.
-_MODE = {"mode": "exact", "tile": 128, "pad": 192}
+_MODE = {"mode": "exact", "tile": 64, "pad": 128}
 
 
-def set_neighbor_mode(mode: str, tile: int = 128, pad: int = 192) -> None:
+def set_neighbor_mode(mode: str, tile: int = 64, pad: int = 128) -> None:
     assert mode in ("exact", "windowed")
     _MODE.update(mode=mode, tile=tile, pad=pad)
 
@@ -35,7 +35,7 @@ def get_neighbor_mode() -> dict:
 
 
 @contextlib.contextmanager
-def neighbor_mode(mode: str, tile: int = 128, pad: int = 192):
+def neighbor_mode(mode: str, tile: int = 64, pad: int = 128):
     prev = get_neighbor_mode()
     set_neighbor_mode(mode, tile, pad)
     try:

@@ -39,8 +39,14 @@ import numpy as np
 from crfconv_tpu.data.batch import ScaleData
 from crfconv_tpu.ops.morton import morton_order
 
-TILE = 128     # output rows per window tile
-PAD = 192      # extra candidate rows on each side of a tile
+# Window geometry defaults.  t64-p128 measured 1.8-2.4x faster than the
+# round-1 t128-p192 on the windowed regime's dominant costs (in-window
+# kNN + gathers, benchmarks/tune_windowed.py) at an edge-recall cost of
+# 2-3.8pp that the learned-metric study (benchmarks/windowed_accuracy.py)
+# shows is immaterial: val mIoU within 0.2pp of the t128-p192 geometry
+# and >= the exact regime on all seeds.
+TILE = 64      # output rows per window tile
+PAD = 128      # extra candidate rows on each side of a tile
 
 
 def window_starts(m_out: int, n_src: int, tile: int = TILE, pad: int = PAD):

@@ -136,8 +136,8 @@ def windowed_gather_bwd_pallas(
     g: jnp.ndarray,
     idx: jnp.ndarray,
     n_src: int,
-    tile: int = 128,
-    pad: int = 192,
+    tile: int = 64,
+    pad: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """VJP of the same-scale windowed gather: dx[b, idx[b,m,k]] += g[b,m,k].
@@ -209,8 +209,8 @@ def windowed_gather_bwd_pallas(
 def windowed_gather_pallas(
     x: jnp.ndarray,
     idx: jnp.ndarray,
-    tile: int = 128,
-    pad: int = 192,
+    tile: int = 64,
+    pad: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Window-consistent neighbor gather → [B, M, K, F].
