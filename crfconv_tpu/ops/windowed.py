@@ -280,7 +280,14 @@ def window_knn(
             - starts_j[:, None, None]
         )
         d = jnp.where((col == self_off)[None], -jnp.inf, d)
-    _, rel = jax.lax.top_k(-d, k)                       # [B, nt, tile, k]
+    if jax.default_backend() == "tpu":
+        # exact Pallas min-extraction: ~10x cheaper than lax.top_k's
+        # sorting network at these shapes, bit-identical indices
+        from crfconv_tpu.ops.windowed_pallas import select_min_k
+
+        rel = select_min_k(d, k)                        # [B, nt, tile, k]
+    else:
+        _, rel = jax.lax.top_k(-d, k)                   # [B, nt, tile, k]
     idx = rel + starts_j[None, :, None, None] - front   # global, unpadded
     idx = jnp.clip(idx, 0, n_src - 1)
     return idx.reshape(B, nt * tile, k)[:, :M].astype(jnp.int32)
