@@ -111,6 +111,21 @@ class TestWindowedGather:
             np.asarray(g_w), np.asarray(g_e), rtol=1e-5, atol=1e-6
         )
 
+    def test_select_min_k_matches_top_k(self):
+        """Pallas min-extraction is bit-identical to lax.top_k(-d)
+        (lowest-index tie-break), incl. ties and the -inf self-pin."""
+        import jax
+        import jax.numpy as jnp
+
+        from crfconv_tpu.ops.windowed_pallas import select_min_k
+
+        d = RNG.random((2, 3, 64, 256)).astype(np.float32)
+        d[0, 0, 0, 10] = d[0, 0, 0, 20] = 0.0
+        d[1, 2, 5, 7] = -np.inf
+        out = np.asarray(select_min_k(jnp.asarray(d), 16, interpret=True))
+        ref = np.asarray(jax.lax.top_k(-jnp.asarray(d), 16)[1])
+        np.testing.assert_array_equal(out, ref)
+
     def test_pallas_bwd_matches_scatter(self):
         """Fast same-scale gather VJP (transposed one-hot matmul +
         overlap-add) equals the scatter-add transpose."""
