@@ -71,14 +71,24 @@ def _kernel_large(
     lo = (win - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     rel = rel_ref[0, 0]                      # [K, tile, 1] int32
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (tile, width), 1)
-    for k in range(k_cols):
-        oh = (rel[k] == iota_w).astype(jnp.bfloat16)      # [tile, width]
+    # group k-columns so each matmul fills >=128 MXU rows (tile may be 64)
+    grp = max(128 // tile, 1)
+    for k0 in range(0, k_cols, grp):
+        gn = min(grp, k_cols - k0)
+        relg = jnp.concatenate(
+            [rel[k0 + j] for j in range(gn)], axis=0
+        )                                                  # [gn*tile, 1]
+        iota_g = jax.lax.broadcasted_iota(
+            jnp.int32, (gn * tile, width), 1
+        )
+        oh = (relg == iota_g).astype(jnp.bfloat16)        # [gn*tile, width]
         out = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
         out += jnp.dot(oh, lo, preferred_element_type=jnp.float32)
-        out_ref[0, :, k * feat : (k + 1) * feat] = out[:, :feat].astype(
-            out_ref.dtype
-        )
+        for j in range(gn):
+            k = k0 + j
+            out_ref[0, :, k * feat : (k + 1) * feat] = out[
+                j * tile : (j + 1) * tile, :feat
+            ].astype(out_ref.dtype)
 
 
 def _kernel_small(
@@ -98,6 +108,9 @@ def _kernel_small(
     win = win_ref[:]
     hi = win.astype(jnp.bfloat16)
     lo = (win - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # no k-pairing here: Mosaic cannot concat lane-extracted columns
+    # ("offset mismatch on non-concat dimension"); small shapes lose
+    # little to the 64-row matmuls anyway
     for k in range(k_cols):
         oh = (rel[:, k][:, None] == iota_w).astype(jnp.bfloat16)
         out = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
@@ -161,22 +174,26 @@ def select_min_k(
 def _bwd_kernel(
     rel_ref, g_ref, wg_ref, *, width, tile, k_cols, feat,
 ):
-    """Transpose of the gather, per tile: wg = Σ_k ohᵀ_k @ g_k.
+    """Transpose of the gather, per tile: wg = Σ_{m,k} onehotᵀ·g.
 
-    ohᵀ builds directly as [W, tile] from the lane-row rel[k] (no
-    relayout); g is hi/lo split so the backward keeps ~f32 fidelity at
-    bf16 MXU rate.  The caller overlap-adds the per-tile windows.
+    Contracting over ALL (m, k) slots at once: the summation over k that
+    the gather transpose needs is exactly what a single matmul over the
+    flattened (m·K+k) depth axis computes.  ohᵀ [W, tile·K] builds from
+    the pre-flattened lane row of rel; g arrives pre-reshaped
+    [tile·K, F] in matching (m, k) order and is hi/lo split so the
+    backward keeps ~f32 fidelity at bf16 MXU rate.  The caller
+    overlap-adds the per-tile windows.
     """
-    rel = rel_ref[0, 0]                          # [K, tile] int32
-    iota = jax.lax.broadcasted_iota(jnp.int32, (width, tile), 0)
-    acc = jnp.zeros((width, feat), jnp.float32)
-    for k in range(k_cols):
-        ohT = (rel[k : k + 1, :] == iota).astype(jnp.bfloat16)
-        gk = g_ref[0, :, k * feat : (k + 1) * feat]   # [tile, F] f32
-        ghi = gk.astype(jnp.bfloat16)
-        glo = (gk - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc += jnp.dot(ohT, ghi, preferred_element_type=jnp.float32)
-        acc += jnp.dot(ohT, glo, preferred_element_type=jnp.float32)
+    rel = rel_ref[0, 0]                          # [1, tile*K] int32
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (width, tile * k_cols), 0
+    )
+    ohT = (rel == iota).astype(jnp.bfloat16)     # [W, tile*K]
+    gk = g_ref[0, 0]                             # [tile*K, F] f32
+    ghi = gk.astype(jnp.bfloat16)
+    glo = (gk - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(ohT, ghi, preferred_element_type=jnp.float32)
+    acc += jnp.dot(ohT, glo, preferred_element_type=jnp.float32)
     wg_ref[0, 0] = acc
 
 
@@ -210,16 +227,16 @@ def windowed_gather_bwd_pallas(
     m_pad = nt * tile - M
 
     idx_p = jnp.pad(idx, ((0, 0), (0, m_pad), (0, 0)))
+    # (m, k)-flattened layouts so the kernel contracts all slots at once
     g_p = jnp.pad(
-        g.astype(jnp.float32).reshape(B, M, K * F),
-        ((0, 0), (0, m_pad), (0, 0)),
-    )
+        g.astype(jnp.float32).reshape(B, M, K, F),
+        ((0, 0), (0, m_pad), (0, 0), (0, 0)),
+    ).reshape(B, nt, tile * K, F)
     tile_off = (jnp.arange(nt, dtype=jnp.int32) * tile)[None, :, None, None]
     rel = jnp.clip(
         idx_p.reshape(B, nt, tile, K).astype(jnp.int32) + front - tile_off,
         0, width - 1,
-    )
-    relT = jnp.swapaxes(rel, 2, 3)               # [B, nt, K, tile]
+    ).reshape(B, nt, 1, tile * K)
 
     wg = pl.pallas_call(
         functools.partial(
@@ -228,11 +245,11 @@ def windowed_gather_bwd_pallas(
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, K, tile), lambda b, t: (b, t, 0, 0),
+                (1, 1, 1, tile * K), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile, K * F), lambda b, t: (b, t, 0),
+                (1, 1, tile * K, F), lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -242,7 +259,7 @@ def windowed_gather_bwd_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, nt, width, F), jnp.float32),
         interpret=interpret,
-    )(relT, g_p)
+    )(rel, g_p)
 
     # overlap-add: window t covers xp rows [t·tile, t·tile + width);
     # fold its width/tile blocks onto the padded axis with static shifts
