@@ -38,7 +38,6 @@ class DiscreteCRFConv(nn.Module):
         mask: Optional[jnp.ndarray] = None,  # [B, N] point validity
         train: bool = True,
     ) -> jnp.ndarray:
-        del train  # no normalization layers in this head
         F_k = self.param(
             "F",
             nn.initializers.uniform(scale=1.0),
@@ -75,5 +74,6 @@ class DiscreteCRFConv(nn.Module):
             nmask = nmask & valid_n & mask[:, :, None]
 
         return discrete_crf_update(
-            p, u, w, nidx, compat, steps=self.steps, mask=nmask
+            p, u, w, nidx, compat, steps=self.steps, mask=nmask,
+            allow_fused=not train,
         )

@@ -192,6 +192,7 @@ def discrete_crf_update(
     compat: jnp.ndarray,
     steps: int = 5,
     mask: Optional[jnp.ndarray] = None,
+    allow_fused: bool = False,
 ) -> jnp.ndarray:
     """Discrete CRF-as-RNN mean field over class probabilities.
 
@@ -214,6 +215,28 @@ def discrete_crf_update(
     if mask is not None:
         w = jnp.where(mask, w, 0.0)
 
+    from crfconv_tpu.ops.neighbors import get_neighbor_mode
+
+    mode = get_neighbor_mode()
+    if (
+        allow_fused
+        and steps >= 2
+        and mode["mode"] == "windowed"
+        and jax.default_backend() == "tpu"
+    ):
+        # edge weights are loop-invariant, so the same banded-A fusion as
+        # the continuous kernel applies (eval path only: models pass
+        # allow_fused=not train, the scan handles training gradients)
+        from crfconv_tpu.ops.crf_pallas import discrete_crf_windowed_fused
+
+        return discrete_crf_windowed_fused(
+            p, unary, w, neighbor_idx, compat, steps,
+            mode["tile"], mode["pad"],
+        )
+    return _discrete_scan(p, unary, w, neighbor_idx, compat, steps)
+
+
+def _discrete_scan(p, unary, w, neighbor_idx, compat, steps):
     hp = jax.lax.Precision.HIGHEST
 
     def body(q, _):

@@ -144,6 +144,66 @@ def _iterate_kernel(
     done.wait()
 
 
+def _banded_setup(weights, idx, N, tile, pad, interpret):
+    """Shared fused-CRF setup: kernel geometry (128-row tiles decoupled
+    from the pyramid tile) + the banded weighted-selection blocks A
+    (hi/lo bf16), built once per call."""
+    from crfconv_tpu.ops.windowed import window_starts
+
+    B, _, K = idx.shape
+    starts0, width0, front0 = window_starts(N, N, tile, pad)
+    assert int(starts0[0]) == 0 and (
+        starts0.shape[0] == 1 or int(starts0[1]) == tile
+    ), "fused CRF requires same-scale windows"
+    tf = 128
+    nt = -(-N // tf)
+    front = _round_up(front0, 128)
+    w = _round_up(front - front0 + max(tf - tile, 0) + width0, 128)
+    npad = _round_up(max((nt - 1) * tf + w, front + nt * tf), 128)
+    mpad = nt * tf - N
+
+    idx_p = jnp.pad(idx, ((0, 0), (0, mpad), (0, 0)))
+    w_p = jnp.pad(weights.astype(jnp.float32), ((0, 0), (0, mpad), (0, 0)))
+    tile_off = (jnp.arange(nt, dtype=jnp.int32) * tf)[None, :, None, None]
+    rel = jnp.clip(
+        idx_p.reshape(B, nt, tf, K).astype(jnp.int32) + front - tile_off,
+        0, w - 1,
+    )
+    relT = jnp.swapaxes(rel, 2, 3)                       # [B, nt, K, tf]
+    wT = jnp.swapaxes(w_p.reshape(B, nt, tf, K), 2, 3)
+
+    a_hi, a_lo = pl.pallas_call(
+        functools.partial(_build_at_kernel, w=w, tile=tf, k_cols=K),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, K, tf), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, K, tf), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, w, tf), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, w, tf), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nt, w, tf), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, nt, w, tf), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(wT, relT)
+    return a_hi, a_lo, tf, nt, front, w, npad
+
+
 # ---------------------------------------------------------------------------
 # host wrapper
 # ---------------------------------------------------------------------------
@@ -168,71 +228,15 @@ def crf_mean_field_windowed_fused(
     it).  Parity with the scan version is ~1e-4 relative (hi/lo bf16
     splits of both operands; f32 accumulation).
     """
-    from crfconv_tpu.ops.windowed import window_starts
-
     B, N, H = z.shape
     K = idx.shape[-1]
     if steps == 0:
         return z
-    # The PYRAMID geometry (tile, pad) bounds where indices can live; the
-    # kernel uses its own 128-row tiles so every VMEM slice is
-    # lane-aligned regardless of the pyramid's tile.  Coverage: a row m
-    # in kernel-tile i has idx ∈ [t0·tile − front0, t0·tile − front0 +
-    # width0) for t0 = m // tile, so the kernel window needs
-    # [i·TF − front0, i·TF + TF − tile − front0 + width0).
-    starts0, width0, front0 = window_starts(N, N, tile, pad)
-    # same-scale geometry ⇒ pyramid starts are exact tile multiples
-    assert int(starts0[0]) == 0 and (
-        starts0.shape[0] == 1 or int(starts0[1]) == tile
-    ), "fused CRF requires same-scale windows"
-    tf = 128                      # kernel tile: lane-aligned row blocks
-    nt = -(-N // tf)
-    front = _round_up(front0, 128)
-    w = _round_up(front - front0 + max(tf - tile, 0) + width0, 128)
-    npad = _round_up(max((nt - 1) * tf + w, front + nt * tf), 128)
-    hp = max(_round_up(H, 8), 16)
-    mpad = nt * tf - N
-    tile = tf                     # all kernel-side math below uses TF
-
-    idx_p = jnp.pad(idx, ((0, 0), (0, mpad), (0, 0)))
-    s_p = jnp.pad(s.astype(jnp.float32), ((0, 0), (0, mpad), (0, 0)))
-    tile_off = (jnp.arange(nt, dtype=jnp.int32) * tile)[None, :, None, None]
-    rel = (
-        idx_p.reshape(B, nt, tile, K).astype(jnp.int32) + front - tile_off
+    a_hi, a_lo, tf, nt, front, w, npad = _banded_setup(
+        s, idx, N, tile, pad, interpret
     )
-    rel = jnp.clip(rel, 0, w - 1)
-    relT = jnp.swapaxes(rel, 2, 3)                       # [B, nt, K, tile]
-    sT = jnp.swapaxes(s_p.reshape(B, nt, tile, K), 2, 3)
-
-    a_hi, a_lo = pl.pallas_call(
-        functools.partial(_build_at_kernel, w=w, tile=tile, k_cols=K),
-        grid=(B, nt),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, K, tile), lambda b, i: (b, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, K, tile), lambda b, i: (b, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, w, tile), lambda b, i: (b, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, w, tile), lambda b, i: (b, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, nt, w, tile), jnp.bfloat16),
-            jax.ShapeDtypeStruct((B, nt, w, tile), jnp.bfloat16),
-        ],
-        interpret=interpret,
-    )(sT, relT)
+    hp = max(_round_up(H, 8), 16)
+    tile = tf                     # all kernel-side math below uses TF
 
     hpm = jax.lax.Precision.HIGHEST
     C = jnp.dot(c.T, c, precision=hpm).astype(jnp.float32)
@@ -283,3 +287,157 @@ def crf_mean_field_windowed_fused(
 
     res = jnp.swapaxes(out, 1, 2)[:, front : front + N, :H]
     return res.astype(z.dtype)
+
+
+# ---------------------------------------------------------------------------
+# discrete CRF (CRF-as-RNN): q ← softmax(−u − (S̃_w q) C) fully on-chip
+# ---------------------------------------------------------------------------
+
+def _iterate_discrete_kernel(
+    pT_ref, uT_ref, ahi_ref, alo_ref, ct_ref, out_ref,
+    qbuf, ubuf, abuf, sem_init, sem_a, sem_out,
+    *, steps, nt, tile, w, front, lp, npad,
+):
+    """Like _iterate_kernel, but the per-step apply is the CRF-as-RNN
+    softmax update.  The unary uT rides padded with +1e30 in the rows
+    beyond L so padded classes softmax to exactly 0."""
+    b = pl.program_id(0)
+    cp_p = pltpu.make_async_copy(pT_ref.at[b], qbuf.at[0], sem_init.at[0])
+    cp_u = pltpu.make_async_copy(uT_ref.at[b], ubuf, sem_init.at[1])
+    cp_p.start()
+    cp_u.start()
+
+    def a_copies(g, slot):
+        j = jax.lax.rem(g, nt)
+        return (
+            pltpu.make_async_copy(
+                ahi_ref.at[b, j], abuf.at[slot, 0], sem_a.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                alo_ref.at[b, j], abuf.at[slot, 1], sem_a.at[slot, 1]
+            ),
+        )
+
+    h0, l0 = a_copies(0, 0)
+    h0.start()
+    l0.start()
+    cp_p.wait()
+    cp_u.wait()
+    qbuf[1] = jnp.zeros((lp, npad), jnp.float32)   # finite halo (NaN·0 guard)
+    ct = ct_ref[:]                                 # [lp, lp] f32 = Cᵀ padded
+
+    total = steps * nt
+    for t in range(steps):
+        src, dst = t % 2, (t + 1) % 2
+
+        def tile_body(i, carry, t=t, src=src, dst=dst):
+            g = t * nt + i
+            slot = jax.lax.rem(g, 2)
+
+            @pl.when(g + 1 < total)
+            def _():
+                nh, nl = a_copies(g + 1, jax.lax.rem(g + 1, 2))
+                nh.start()
+                nl.start()
+
+            ch, cl = a_copies(g, slot)
+            ch.wait()
+            cl.wait()
+
+            r0 = pl.multiple_of(i * tile, 128)
+            win = qbuf[src, :, pl.ds(r0, w)]        # [lp, w] f32
+            whi = win.astype(jnp.bfloat16)
+            wlo = (win - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ahi = abuf[slot, 0]
+            alo = abuf[slot, 1]
+            msg = (
+                jnp.dot(whi, ahi, preferred_element_type=jnp.float32)
+                + jnp.dot(wlo, ahi, preferred_element_type=jnp.float32)
+                + jnp.dot(whi, alo, preferred_element_type=jnp.float32)
+            )                                       # [lp, tile] msgᵀ
+            o0 = pl.multiple_of(front + i * tile, 128)
+            z = -ubuf[:, pl.ds(o0, tile)] - jnp.dot(
+                ct, msg, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                       # padded rows → −1e30
+            m = jnp.max(z, axis=0, keepdims=True)
+            e = jnp.exp(z - m)
+            qbuf[dst, :, pl.ds(o0, tile)] = e / jnp.sum(
+                e, axis=0, keepdims=True
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nt, tile_body, 0)
+
+    done = pltpu.make_async_copy(qbuf.at[steps % 2], out_ref.at[b], sem_out)
+    done.start()
+    done.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "tile", "pad", "interpret")
+)
+def discrete_crf_windowed_fused(
+    p: jnp.ndarray,
+    unary: jnp.ndarray,
+    wgt: jnp.ndarray,
+    idx: jnp.ndarray,
+    compat: jnp.ndarray,
+    steps: int,
+    tile: int = 64,
+    pad: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused windowed discrete CRF; same contract as discrete_crf_update
+    with a pre-masked w.  The edge weights are loop-invariant, so the
+    same banded-A machinery as the continuous kernel applies; only the
+    per-step apply differs (softmax instead of the linear update)."""
+    B, N, L = p.shape
+    if steps == 0:
+        return p
+    a_hi, a_lo, tf, nt, front, w, npad = _banded_setup(
+        wgt, idx, N, tile, pad, interpret
+    )
+    lp = max(_round_up(L, 8), 16)
+    ct = jnp.zeros((lp, lp), jnp.float32).at[:L, :L].set(
+        compat.astype(jnp.float32).T
+    )
+
+    def to_t(a, fill):
+        buf = jnp.full((B, npad, lp), fill, jnp.float32)
+        buf = buf.at[:, front : front + N, :L].set(a.astype(jnp.float32))
+        # rows outside [front, front+N) are never read through A; class
+        # rows beyond L must carry the fill so softmax zeroes them
+        return jnp.swapaxes(buf, 1, 2)                   # [B, lp, npad]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _iterate_discrete_kernel,
+            steps=steps, nt=nt, tile=tf, w=w, front=front, lp=lp,
+            npad=npad,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # pT (init q)
+            pl.BlockSpec(memory_space=pl.ANY),           # uT
+            pl.BlockSpec(memory_space=pl.ANY),           # A_hi
+            pl.BlockSpec(memory_space=pl.ANY),           # A_lo
+            pl.BlockSpec(
+                (lp, lp), lambda b: (0, 0), memory_space=pltpu.VMEM
+            ),                                           # Cᵀ
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, lp, npad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, lp, npad), jnp.float32),      # q ping-pong
+            pltpu.VMEM((lp, npad), jnp.float32),         # u resident
+            pltpu.VMEM((2, 2, w, tf), jnp.bfloat16),     # A double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(to_t(p, 0.0), to_t(unary, 1e30), a_hi, a_lo, ct)
+
+    res = jnp.swapaxes(out, 1, 2)[:, front : front + N, :L]
+    return res.astype(p.dtype)

@@ -6,8 +6,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from crfconv_tpu.ops.crf import _crf_scan, crf_mean_field
-from crfconv_tpu.ops.crf_pallas import crf_mean_field_windowed_fused
+from crfconv_tpu.ops.crf import _crf_scan, _discrete_scan, crf_mean_field
+from crfconv_tpu.ops.crf_pallas import (
+    crf_mean_field_windowed_fused,
+    discrete_crf_windowed_fused,
+)
 from crfconv_tpu.ops.windowed import check_window_consistency
 
 RNG = np.random.default_rng(42)
@@ -132,3 +135,40 @@ def test_dispatch_stays_on_scan_for_training():
             jnp.asarray(c), steps=2, allow_fused=False,
         )
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize(
+    "b,n,l,k,steps",
+    [
+        (2, 512, 20, 31, 5),    # ScanNet dual-model shape (kNN 32 - self)
+        (1, 128, 8, 9, 10),     # single-tile case
+    ],
+)
+def test_discrete_fused_matches_scan(b, n, l, k, steps):
+    """Fused CRF-as-RNN (softmax update) vs the scan implementation."""
+    rng = np.random.default_rng(b * 10 + l)
+    logits = rng.standard_normal((b, n, l)).astype(np.float32)
+    p = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    u = -np.log(np.maximum(p, 1e-12)).astype(np.float32)
+    w = (rng.random((b, n, k)) * 0.5).astype(np.float32)
+    w[:, :, 2] = 0.0                       # masked-out slot
+    idx = _window_consistent_idx(b, n, k)
+    compat = np.eye(l, dtype=np.float32) + 0.05 * rng.standard_normal(
+        (l, l)
+    ).astype(np.float32)
+
+    ref = np.asarray(
+        _discrete_scan(
+            jnp.asarray(p), jnp.asarray(u), jnp.asarray(w),
+            jnp.asarray(idx), jnp.asarray(compat), steps,
+        )
+    )
+    out = np.asarray(
+        discrete_crf_windowed_fused(
+            jnp.asarray(p), jnp.asarray(u), jnp.asarray(w),
+            jnp.asarray(idx), jnp.asarray(compat), steps, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-5)
+    # probabilities: rows sum to 1
+    np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-5)
