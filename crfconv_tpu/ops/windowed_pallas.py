@@ -141,19 +141,24 @@ def _select_k_kernel(d_ref, idx_ref, *, width, rows, k):
     idx_ref[0, 0] = jnp.concatenate(cols, axis=1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "exact", "interpret"))
 def select_min_k(
-    d: jnp.ndarray, k: int, interpret: bool = False
+    d: jnp.ndarray, k: int, exact: bool = True, interpret: bool = False
 ) -> jnp.ndarray:
-    """Indices of the k smallest entries per row, ascending, exact.
+    """Indices of the k smallest entries per row, ascending.
 
-    d: [B, nt, rows, width] distances.  Returns [B, nt, rows, k] int32 —
-    bit-identical to ``lax.top_k(-d, k)[1]`` (lowest-index tie-break).
+    d: [B, nt, rows, width] distances.  Returns [B, nt, rows, k] int32.
+    exact=True (default) is bit-identical to ``lax.top_k(-d, k)[1]``
+    (lowest-index tie-break); exact=False uses the ~2x-faster packed-key
+    variant whose tie radius widens to 2^-13 relative (requires
+    width <= 1024).
     """
     B, nt, rows, width = d.shape
+    assert exact or width <= 1024
     return pl.pallas_call(
         functools.partial(
-            _select_k_kernel, width=width, rows=rows, k=k
+            _select_k_kernel if exact else _select_k_packed_kernel,
+            width=width, rows=rows, k=k,
         ),
         grid=(B, nt),
         in_specs=[
@@ -169,6 +174,30 @@ def select_min_k(
         out_shape=jax.ShapeDtypeStruct((B, nt, rows, k), jnp.int32),
         interpret=interpret,
     )(d)
+
+
+def _select_k_packed_kernel(d_ref, idx_ref, *, width, rows, k):
+    """2-passes-per-iteration variant: index packed into the low 10
+    mantissa bits of the bitcast-monotonic distance key, so each
+    extraction is one min-reduce + one mask.  Distances within 2^-13
+    relative are treated as ties (broken by index, like top_k); not
+    bit-identical to top_k on adversarially close distances."""
+    d = d_ref[0, 0]                              # [rows, width] f32
+    bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+    # signed-int32 sortable key for floats incl. -inf: XOR negatives
+    # with 0x7FFFFFFF (the uint trick's two sign-bit flips cancel, so
+    # signed compares order correctly and Mosaic's int32 min applies)
+    neg = jnp.where(bits < 0, jnp.int32(0x7FFFFFFF), jnp.int32(0))
+    key = bits ^ neg
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    key = (key & jnp.int32(-1024)) | iota
+    imax = jnp.int32(0x7FFFFFFF)
+    cols = []
+    for _ in range(k):
+        sel = jnp.min(key, axis=1, keepdims=True)
+        cols.append(sel & jnp.int32(1023))
+        key = jnp.where(key == sel, imax, key)
+    idx_ref[0, 0] = jnp.concatenate(cols, axis=1)
 
 
 def _bwd_kernel(

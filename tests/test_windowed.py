@@ -126,6 +126,26 @@ class TestWindowedGather:
         ref = np.asarray(jax.lax.top_k(-jnp.asarray(d), 16)[1])
         np.testing.assert_array_equal(out, ref)
 
+    def test_select_min_k_packed_near_exact(self):
+        """Packed-key selection (exact=False): ~2^-13-relative tie radius;
+        overwhelming elementwise agreement with the exact variant, exact
+        behavior on true ties and the -inf self-pin."""
+        import jax
+        import jax.numpy as jnp
+
+        from crfconv_tpu.ops.windowed_pallas import select_min_k
+
+        d = RNG.random((2, 3, 64, 512)).astype(np.float32)
+        d[0, 0, 0, 10] = d[0, 0, 0, 20] = 0.25
+        d[1, 2, 5, 7] = -np.inf
+        out = np.asarray(
+            select_min_k(jnp.asarray(d), 16, exact=False, interpret=True)
+        )
+        ref = np.asarray(jax.lax.top_k(-jnp.asarray(d), 16)[1])
+        assert np.mean(out == ref) > 0.995
+        np.testing.assert_array_equal(out[0, 0, 0, :2], ref[0, 0, 0, :2])
+        assert out[1, 2, 5, 0] == 7
+
     def test_pallas_bwd_matches_scatter(self):
         """Fast same-scale gather VJP (transposed one-hot matmul +
         overlap-add) equals the scatter-add transpose."""
