@@ -292,11 +292,18 @@ class Semantic3DBlockDataset(ProcessedDataset):
             for i, n in enumerate(labeled)
             if ALL_SPLITS[i % len(ALL_SPLITS)] == VAL_SPLIT
         }
+        cloud_counter = {"train": 0, "val": 0, "test": 0}
         for name in names:
             if name in labeled:
                 split = "val" if name in val_names else "train"
             else:
                 split = "test"
+            # position of the cloud within ITS split: vote accumulators
+            # are keyed by (cloud_idx, point_idx), so blocks of the same
+            # cloud must share one cloud_idx (ADVICE r2: the block FILE
+            # index scattered votes for one cloud across accumulators)
+            cloud_pos = cloud_counter[split]
+            cloud_counter[split] += 1
             out_dir = os.path.join(self.processed_dir, "blocks", split)
             os.makedirs(out_dir, exist_ok=True)
             pc = pd.read_csv(
@@ -336,6 +343,7 @@ class Semantic3DBlockDataset(ProcessedDataset):
                     y=y[idx].astype(np.int32),
                     mask=core.astype(np.int8),
                     indices=indices[idx],
+                    cloud_idx=np.int64(cloud_pos),
                 )
                 count += 1
 
@@ -357,7 +365,13 @@ class Semantic3DBlockDataset(ProcessedDataset):
             "x": blob["x"][sel],
             "y": blob["y"][sel].astype(np.int64),
             "point_idx": blob["indices"][sel],
-            "cloud_idx": np.int64(idx),
+            # source-cloud index (shared by all blocks of one cloud) so
+            # (cloud_idx, point_idx)-keyed vote accumulators merge votes
+            # from overlapping blocks; pre-r3 processed data lacks the
+            # field and falls back to the block-file index
+            "cloud_idx": np.int64(
+                blob["cloud_idx"] if "cloud_idx" in blob else idx
+            ),
         }
 
 

@@ -135,7 +135,45 @@ def _crf_fused_bwd(steps, tile, pad, res, g):
 _crf_fused.defvjp(_crf_fused_fwd, _crf_fused_bwd)
 
 
-@partial(jax.jit, static_argnames=("steps", "allow_fused"))
+_crf_scan_jit = jax.jit(_crf_scan, static_argnames=("steps",))
+
+
+def _fused_vmem_bytes(n: int, h: int, tile: int, pad: int) -> int:
+    """Upper-bound VMEM estimate for the fused iterate kernels.
+
+    Mirrors the geometry of crf_pallas._banded_setup without building
+    anything: the resident planes are the state ping-pong (2×) plus the
+    loop-invariant plane (z' or u), each [hp, npad] f32, plus the A
+    double buffer (2 slots × hi/lo × [w, 128] bf16)."""
+    from crfconv_tpu.ops.windowed import window_starts
+
+    _, width0, front0 = window_starts(n, n, tile, pad)
+    front = -(-front0 // 128) * 128
+    nt = -(-n // 128)
+    w = -(-(front - front0 + max(128 - tile, 0) + width0) // 128) * 128
+    npad = -(-max((nt - 1) * 128 + w, front + nt * 128) // 128) * 128
+    hp = max(-(-h // 8) * 8, 16)
+    return 3 * hp * npad * 4 + 4 * w * 128 * 2 + hp * hp * 4
+
+
+def _fused_ok(n: int, h: int, steps: int, mode: dict) -> bool:
+    """Dispatch guard for the fused Pallas CRF kernels: windowed mode on
+    TPU, ≥2 steps (one step has no HBM round-trip to save), a pyramid
+    tile the 128-row kernel tiles can cover exactly (ADVICE r2: tiles
+    straddling kernel tiles silently corrupt the banded indices), and a
+    VMEM budget check (ADVICE r2: Mosaic would otherwise fail at compile
+    time instead of falling back to the scan)."""
+    return (
+        steps >= 2
+        and mode["mode"] == "windowed"
+        and jax.default_backend() == "tpu"
+        and mode["tile"] <= 128
+        and 128 % mode["tile"] == 0
+        and _fused_vmem_bytes(n, h, mode["tile"], mode["pad"])
+        <= 12 * 1024 * 1024
+    )
+
+
 def crf_mean_field(
     z: jnp.ndarray,
     s: jnp.ndarray,
@@ -146,6 +184,12 @@ def crf_mean_field(
     allow_fused: bool = False,
 ) -> jnp.ndarray:
     """Run ``steps`` mean-field iterations of the continuous Gaussian CRF.
+
+    This is an UNJITTED dispatcher: it reads the neighbor-mode global and
+    passes the choice to jitted inner functions as static structure, so a
+    mode switch between calls always retraces (ADVICE r2: a jitted
+    dispatcher cached the fused trace under a key that did not include
+    the mode, silently corrupting exact-mode calls after a windowed one).
 
     Args:
       z:            [B, N, H] unary features (initial state).
@@ -162,9 +206,8 @@ def crf_mean_field(
                     is index-count-bound, so fusing gathers is free).
       allow_fused:  permit dispatch to the fused Pallas kernel.  Taken in
                     the windowed regime on TPU at steps ≥ 2 (where the
-                    scan pays one HBM round-trip per step); models pass
-                    ``not train`` so training keeps the natively
-                    differentiable scan (the fused VJP would re-run it).
+                    scan pays one HBM round-trip per step) when the
+                    geometry/VMEM guards pass.
 
     Returns:
       x: [B, N, H] refined features.
@@ -172,16 +215,11 @@ def crf_mean_field(
     from crfconv_tpu.ops.neighbors import get_neighbor_mode
 
     mode = get_neighbor_mode()
-    if (
-        allow_fused
-        and steps >= 2
-        and mode["mode"] == "windowed"
-        and jax.default_backend() == "tpu"
-    ):
+    if allow_fused and _fused_ok(z.shape[1], z.shape[2], steps, mode):
         return _crf_fused(
             z, s, neighbor_idx, c, steps, mode["tile"], mode["pad"]
         )
-    return _crf_scan(z, s, neighbor_idx, c, steps, neighbors0)
+    return _crf_scan_jit(z, s, neighbor_idx, c, steps, neighbors0)
 
 
 def discrete_crf_update(
@@ -218,12 +256,7 @@ def discrete_crf_update(
     from crfconv_tpu.ops.neighbors import get_neighbor_mode
 
     mode = get_neighbor_mode()
-    if (
-        allow_fused
-        and steps >= 2
-        and mode["mode"] == "windowed"
-        and jax.default_backend() == "tpu"
-    ):
+    if allow_fused and _fused_ok(p.shape[1], p.shape[2], steps, mode):
         # edge weights are loop-invariant, so the same banded-A fusion as
         # the continuous kernel applies (eval path only: models pass
         # allow_fused=not train, the scan handles training gradients)

@@ -155,6 +155,12 @@ def _banded_setup(weights, idx, N, tile, pad, interpret):
     assert int(starts0[0]) == 0 and (
         starts0.shape[0] == 1 or int(starts0[1]) == tile
     ), "fused CRF requires same-scale windows"
+    # the 128-row kernel tiles must cover whole pyramid tiles, or the
+    # rel = idx + front - i*128 arithmetic goes negative and jnp.clip
+    # silently maps real neighbors onto wrong band columns (ADVICE r2)
+    assert tile <= 128 and 128 % tile == 0, (
+        f"fused CRF requires tile <= 128 dividing 128, got {tile}"
+    )
     tf = 128
     nt = -(-N // tf)
     front = _round_up(front0, 128)

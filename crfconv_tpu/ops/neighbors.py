@@ -22,12 +22,21 @@ import jax.numpy as jnp
 # pyramid (ops/windowed.py) and turns every gather into per-tile one-hot
 # matmuls on the MXU.  The switch is read at TRACE time — set it before
 # jitting the model.
-_MODE = {"mode": "exact", "tile": 64, "pad": 128}
+_MODE = {"mode": "exact", "tile": 64, "pad": 128, "knn_exact": True}
 
 
-def set_neighbor_mode(mode: str, tile: int = 64, pad: int = 128) -> None:
+def set_neighbor_mode(
+    mode: str, tile: int = 64, pad: int = 128, knn_exact: bool = True
+) -> None:
+    """Configure the gather regime.
+
+    knn_exact selects the window-kNN selection variant: True is
+    bit-identical to lax.top_k (lowest-index tie-break); False uses the
+    ~2× faster packed-key selection whose tie radius widens to 2⁻¹³
+    relative distance (immaterial for neighborhood construction — see
+    benchmarks/windowed_accuracy.py)."""
     assert mode in ("exact", "windowed")
-    _MODE.update(mode=mode, tile=tile, pad=pad)
+    _MODE.update(mode=mode, tile=tile, pad=pad, knn_exact=knn_exact)
 
 
 def get_neighbor_mode() -> dict:
@@ -35,9 +44,11 @@ def get_neighbor_mode() -> dict:
 
 
 @contextlib.contextmanager
-def neighbor_mode(mode: str, tile: int = 64, pad: int = 128):
+def neighbor_mode(
+    mode: str, tile: int = 64, pad: int = 128, knn_exact: bool = True
+):
     prev = get_neighbor_mode()
-    set_neighbor_mode(mode, tile, pad)
+    set_neighbor_mode(mode, tile, pad, knn_exact)
     try:
         yield
     finally:

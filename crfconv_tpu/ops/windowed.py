@@ -248,6 +248,16 @@ def window_knn(
     B, M, _ = q.shape
     n_src = pos.shape[1]
     starts, width, front = window_starts(M, n_src, tile, pad)
+    if jax.default_backend() == "tpu":
+        # fused distance+selection kernel: the [B, nt, tile, width]
+        # distance block never touches HBM (VERDICT r2 #2a)
+        from crfconv_tpu.ops.neighbors import get_neighbor_mode
+        from crfconv_tpu.ops.windowed_pallas import window_knn_pallas
+
+        exact = get_neighbor_mode().get("knn_exact", True) or width > 1024
+        return window_knn_pallas(
+            pos, k, query_pos=query_pos, tile=tile, pad=pad, exact=exact
+        )
     nt = starts.shape[0]
     m_pad = nt * tile - M
     qp = jnp.pad(q, ((0, 0), (0, m_pad), (0, 0)), constant_values=1e9)

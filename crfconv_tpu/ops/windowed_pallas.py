@@ -378,3 +378,168 @@ def windowed_gather_pallas(
         interpret=interpret,
     )(starts_j, rel, xp)
     return out.reshape(B, nt * tile, K, F)[:, :M].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# fused window kNN: distances + k-min selection in one kernel
+# ---------------------------------------------------------------------------
+
+def _knn_kernel(
+    starts_ref, q_ref, xpT_ref, idx_ref, win_ref, sem,
+    *, width, rows, k, front, tile, self_same, exact,
+):
+    """Per (b, tile): DMA the window's transposed coordinates (4 sublane
+    rows: x, y, z, |p|²), form the [rows, width] distance block on the
+    VPU (3 broadcast multiply-adds — no MXU depth-3 matmul, no HBM
+    round-trip of the block), then run the k-min selection in place.
+
+    This fuses ops/windowed.window_knn's distance einsum with
+    select_min_k: the distance block lives and dies in VMEM (VERDICT r2
+    next-step #2a — it previously cost a [B, nt, tile, W] HBM write+read
+    per scale).
+
+    Window starts are 8-aligned but lane DMA slices must be 128-aligned:
+    the copy starts at s0 = ⌊s/128⌋·128 and covers width+128 lanes; the
+    off = s − s0 shift is handled by masking the out-of-window columns
+    to +inf so the candidate set matches the reference path exactly.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    s = starts_ref[t]
+    s0 = pl.multiple_of((s // 128) * 128, 128)
+    off = s - s0                                  # 0..120, multiple of 8
+    w2 = width + 128
+    copy = pltpu.make_async_copy(
+        xpT_ref.at[b, :, pl.ds(s0, w2)], win_ref, sem
+    )
+    copy.start()
+    q = q_ref[0, 0]                               # [rows, 4] f32
+    copy.wait()
+    win = win_ref[:]                              # [8, w2] f32
+    # association order matches the reference einsum path exactly
+    # ((x + y) + z cross term, then |q|² − 2c + |w|²) so the selected
+    # indices are bit-identical to the einsum + top_k formulation
+    cross = (
+        q[:, 0:1] * win[0:1] + q[:, 1:2] * win[1:2]
+    ) + q[:, 2:3] * win[2:3]
+    d = (q[:, 3:4] - 2.0 * cross) + win[3:4]      # [rows, w2]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, w2), 1)
+    # restrict candidates to the true window [off, off + width)
+    d = jnp.where((iota < off) | (iota >= off + width), jnp.inf, d)
+    if self_same:
+        # pin the self edge to column 0 (window_knn contract: col 0 is
+        # the query itself; f32 rounding could otherwise let a
+        # near-duplicate beat d_self ≈ 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, w2), 0)
+        self_off = row + (t * tile + front - s0)
+        d = jnp.where(iota == self_off, -jnp.inf, d)
+
+    if exact:
+        cols = []
+        for _ in range(k):
+            m = jnp.min(d, axis=1, keepdims=True)
+            cand = jnp.where(d == m, iota, w2)
+            sel = jnp.min(cand, axis=1, keepdims=True)
+            cols.append(sel)
+            d = jnp.where(iota == sel, jnp.inf, d)
+        rel = jnp.concatenate(cols, axis=1)
+    else:
+        bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+        neg = jnp.where(bits < 0, jnp.int32(0x7FFFFFFF), jnp.int32(0))
+        key = (bits ^ neg) & jnp.int32(-2048) | iota
+        imax = jnp.int32(0x7FFFFFFF)
+        cols = []
+        for _ in range(k):
+            sel = jnp.min(key, axis=1, keepdims=True)
+            cols.append(sel & jnp.int32(2047))
+            key = jnp.where(key == sel, imax, key)
+        rel = jnp.concatenate(cols, axis=1)
+    idx_ref[0, 0] = rel + (s0 - front)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "m_out", "tile", "pad", "exact", "interpret"),
+)
+def window_knn_pallas(
+    pos: jnp.ndarray,
+    k: int,
+    m_out=None,
+    query_pos=None,
+    tile: int = 64,
+    pad: int = 128,
+    exact: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused in-window kNN; same contract as ops.windowed.window_knn.
+
+    Returns [B, M, K] int32 global source indices, ascending distance
+    (exact=True is bit-identical to the einsum + lax.top_k reference
+    path; exact=False treats distances within 2⁻¹³ relative as ties,
+    requires width ≤ 1024).
+    """
+    from crfconv_tpu.ops.windowed import window_starts
+
+    q = pos if query_pos is None else query_pos
+    B, M, _ = q.shape
+    n_src = pos.shape[1]
+    starts, width, front = window_starts(M, n_src, tile, pad)
+    assert exact or width + 128 <= 2048   # packed key: 11 index bits
+    nt = starts.shape[0]
+    m_pad = nt * tile - M
+
+    # queries ride as [B, nt, tile, 4] (x, y, z, |q|²); padded rows get a
+    # far sentinel so their distances are finite garbage (sliced off)
+    qp = jnp.pad(
+        q.astype(jnp.float32), ((0, 0), (0, m_pad), (0, 0)),
+        constant_values=1e9,
+    )
+    qn = jnp.sum(qp * qp, axis=-1, keepdims=True)
+    q4 = jnp.concatenate([qp, qn], axis=-1).reshape(B, nt, tile, 4)
+
+    # source rides transposed [B, 8, npad]: rows 0-2 coords, row 3 |p|²,
+    # rows 4-7 zero padding for the sublane tile; window DMAs slice the
+    # lane axis (start rounded down to 128, hence the +128 coverage).
+    # Pad value 2e9 keeps sentinel distances ~4e18 (< f32 max) and
+    # strictly larger than any real distance.
+    need = (int(starts[-1]) // 128) * 128 + width + 128
+    posp = jnp.pad(
+        pos.astype(jnp.float32),
+        ((0, 0), (front, max(need - n_src - front, 0)), (0, 0)),
+        constant_values=2e9,
+    )
+    pn = jnp.sum(posp * posp, axis=-1, keepdims=True)
+    xpT = jnp.swapaxes(
+        jnp.pad(jnp.concatenate([posp, pn], axis=-1), ((0, 0), (0, 0), (0, 4))),
+        1, 2,
+    )                                                    # [B, 8, NP]
+
+    starts_j = jnp.asarray(starts, jnp.int32)
+    idx = pl.pallas_call(
+        functools.partial(
+            _knn_kernel,
+            width=width, rows=tile, k=k, front=front, tile=tile,
+            self_same=query_pos is None, exact=exact,
+        ),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # starts [nt]
+            pl.BlockSpec(
+                (1, 1, tile, 4), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),           # xpT in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tile, k), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nt, tile, k), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((8, width + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(starts_j, q4, xpT)
+    idx = jnp.clip(idx.reshape(B, nt * tile, k)[:, :M], 0, n_src - 1)
+    return idx.astype(jnp.int32)

@@ -250,6 +250,22 @@ class Trainer:
 
         return make_global_batch(batch, self.mesh)
 
+    @staticmethod
+    def _fetch(a):
+        """Device array → host numpy, multi-host safe.
+
+        Under process_count > 1 the eval outputs are globally sharded and
+        np.asarray raises on non-addressable shards (ADVICE r2); gather
+        the full array to every host first.  Single-host arrays (the
+        overwhelmingly common case) go straight through."""
+        if a is None:
+            return None
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            a = multihost_utils.process_allgather(a, tiled=True)
+        return np.asarray(a)
+
     def _eval_batch(self, state, batch, rng=None):
         """Run the eval step, microbatched when cfg.eval_microbatch is
         set (the full Semantic3D 16×65536 test config exceeds one chip's
@@ -383,12 +399,12 @@ class Trainer:
         key = jax.random.fold_in(jax.random.PRNGKey(17), self._vote_pass)
         for batch in self.val_loader:
             m = self._eval_batch(self.state, self._place(batch), key)
-            probs = np.asarray(m["probs"])             # [B, N, C]
-            point_idx = np.asarray(
+            probs = self._fetch(m["probs"])            # [B, N, C]
+            point_idx = self._fetch(
                 m["point_idx"] if m.get("point_idx") is not None
                 else batch.point_idx
             )                                          # [B, N]
-            cloud_idx = np.asarray(batch.cloud_idx).reshape(-1)
+            cloud_idx = self._fetch(batch.cloud_idx).reshape(-1)
             for b in range(probs.shape[0]):
                 c = int(cloud_idx[b])
                 p_idx = point_idx[b]
@@ -511,9 +527,9 @@ class Trainer:
         score = RunningScoreShapeNet()
         for batch in self.val_loader:
             m = self._eval_batch(self.state, self._place(batch))
-            preds = np.asarray(m["preds"])
-            labels = np.asarray(m["labels"])  # aligned with preds' order
-            cats = np.asarray(batch.category).reshape(-1)
+            preds = self._fetch(m["preds"])
+            labels = self._fetch(m["labels"])  # aligned with preds' order
+            cats = self._fetch(batch.category).reshape(-1)
             for b in range(preds.shape[0]):
                 score.update(labels[b], preds[b], int(cats[b]))
         p_iou, mp_iou, cls = score.get_scores()

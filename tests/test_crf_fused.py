@@ -172,3 +172,38 @@ def test_discrete_fused_matches_scan(b, n, l, k, steps):
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-5)
     # probabilities: rows sum to 1
     np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_fused_dispatch_guards(monkeypatch):
+    """ADVICE r2 regressions: the fused dispatcher must reject pyramid
+    tiles the 128-row kernel tiles cannot cover, and VMEM-exceeding
+    shapes, falling back to the scan instead of corrupting output or
+    failing at Mosaic compile time."""
+    from crfconv_tpu.ops import crf
+    from crfconv_tpu.ops.crf import _fused_ok, _fused_vmem_bytes
+
+    # the guard also requires the TPU backend; fake it so the geometry
+    # and VMEM clauses are what is under test here
+    monkeypatch.setattr(crf.jax, "default_backend", lambda: "tpu")
+    ok_mode = {"mode": "windowed", "tile": 64, "pad": 128}
+    # geometry guards
+    for tile in (96, 256, 48):
+        assert not _fused_ok(8192, 32, 10, {**ok_mode, "tile": tile})
+    for tile in (32, 64, 128):
+        assert _fused_ok(8192, 32, 10, {**ok_mode, "tile": tile})
+    # mode/steps/backend guards
+    assert not _fused_ok(8192, 32, 1, ok_mode)
+    assert not _fused_ok(8192, 32, 10, {**ok_mode, "mode": "exact"})
+    # VMEM guard: Semantic3D-scale N with a wide hidden dim must fall back
+    assert _fused_vmem_bytes(65536, 64, 64, 128) > 12 * 1024 * 1024
+    assert not _fused_ok(65536, 64, 10, ok_mode)
+
+
+def test_crf_mean_field_is_unjitted_dispatcher():
+    """The dispatcher must re-read the neighbor-mode global on every call
+    (a jitted dispatcher cached the mode in its trace, ADVICE r2)."""
+    from crfconv_tpu.ops import crf
+
+    assert not hasattr(crf.crf_mean_field, "lower"), (
+        "crf_mean_field must not be jax.jit-wrapped"
+    )

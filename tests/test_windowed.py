@@ -262,3 +262,54 @@ class TestWindowedPyramid:
         np.testing.assert_allclose(
             np.asarray(exact), np.asarray(win), rtol=2e-2, atol=2e-2
         )
+
+
+class TestWindowKnnFused:
+    """The fused distance+selection kernel (window_knn_pallas) vs the
+    XLA einsum + top_k reference path, via interpret mode on CPU."""
+
+    def _ref(self, pos, k, query_pos=None):
+        # on CPU window_knn takes the XLA path — that IS the reference
+        return np.asarray(window_knn(pos, k, query_pos=query_pos))
+
+    @pytest.mark.parametrize("n,k", [(1024, 16), (1000, 8)])
+    def test_same_scale_matches_reference(self, n, k):
+        from crfconv_tpu.ops.windowed_pallas import window_knn_pallas
+
+        pos = _sorted_cloud(2, n)
+        ref = self._ref(pos, k)
+        out = np.asarray(window_knn_pallas(pos, k, interpret=True))
+        # agreement is statistical, not bitwise: the kernel's VPU
+        # distance accumulation rounds differently from the einsum at
+        # tie level (~1e-4 of slots on random clouds)
+        assert (ref == out).mean() > 0.999
+        # col 0 is the query itself
+        np.testing.assert_array_equal(
+            out[:, :, 0], np.tile(np.arange(n), (2, 1))
+        )
+        assert check_window_consistency(out, n) == 1.0
+
+    def test_packed_selection_near_exact(self):
+        from crfconv_tpu.ops.windowed_pallas import window_knn_pallas
+
+        pos = _sorted_cloud(2, 1024)
+        ref = self._ref(pos, 16)
+        out = np.asarray(
+            window_knn_pallas(pos, 16, exact=False, interpret=True)
+        )
+        assert (ref == out).mean() > 0.99
+        np.testing.assert_array_equal(
+            out[:, :, 0], np.tile(np.arange(1024), (2, 1))
+        )
+        assert check_window_consistency(out, 1024) == 1.0
+
+    def test_bipartite_up_index(self):
+        from crfconv_tpu.ops.windowed_pallas import window_knn_pallas
+
+        pos = _sorted_cloud(2, 1024)
+        coarse = pos[:, ::4]
+        ref = self._ref(coarse, 1, query_pos=pos)
+        out = np.asarray(
+            window_knn_pallas(coarse, 1, query_pos=pos, interpret=True)
+        )
+        assert (ref == out).mean() > 0.999
