@@ -70,9 +70,13 @@ class ContinuousCRFConv(nn.Module):
         s = gaussian_similarity(y, nidx, neighbors=yn)   # [B, N, K-1]
 
         c = self.param("c", eye_init, (hidden, hidden))
+        # allow_fused=True even in training: the fused kernel has a
+        # NATIVE fused VJP (crf_pallas.crf_core — the iteration is
+        # linear, so its transpose is the same banded recurrence), 20x
+        # faster than the scan VJP at steps=10 on v5e
         x = crf_mean_field(
             x, s, nidx, c, steps=self.steps, neighbors0=zn,
-            allow_fused=not train,
+            allow_fused=True,
         )
 
         x = MLP(self.out_features, activation=leaky_relu01, name="out_nn")(
@@ -134,6 +138,6 @@ class GuideCRFConv(nn.Module):
         s = gaussian_similarity(yh, nidx, mask=nmask)
         c = self.param("c", eye_init, (self.out_features, self.out_features))
         out = crf_mean_field(
-            xh, s, nidx, c, steps=self.steps, allow_fused=not train
+            xh, s, nidx, c, steps=self.steps, allow_fused=True
         )
         return leaky_relu001(out)

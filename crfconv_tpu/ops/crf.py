@@ -104,35 +104,25 @@ def _crf_scan(
 
 
 # ---------------------------------------------------------------------------
-# fused Pallas path (windowed regime): forward = on-chip iterate kernel,
-# backward = VJP of the scan implementation (identical math).
+# fused Pallas path (windowed regime): forward = on-chip iterate kernel;
+# backward = the NATIVE fused reverse recurrence (crf_pallas.crf_core's
+# custom VJP — the iteration is linear, so its transpose is the same
+# banded-matmul loop run with S̃ᵀ).  The small-matrix chain into c
+# (C = cᵀc, (I+C)⁻¹, M) stays ordinary differentiable XLA.
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnames=("steps", "tile", "pad"))
 def _crf_fused(z, s, neighbor_idx, c, steps, tile, pad):
-    from crfconv_tpu.ops.crf_pallas import crf_mean_field_windowed_fused
+    from crfconv_tpu.ops.crf_pallas import _compat_products, crf_core
 
-    return crf_mean_field_windowed_fused(
-        z, s, neighbor_idx, c, steps, tile, pad
+    h = z.shape[-1]
+    _, inv, M = _compat_products(c, h)
+    zf = z.astype(jnp.float32)
+    zp = jnp.einsum(
+        "bnh,hk->bnk", zf, inv, precision=jax.lax.Precision.HIGHEST
     )
-
-
-def _crf_fused_fwd(z, s, neighbor_idx, c, steps, tile, pad):
-    out = _crf_fused(z, s, neighbor_idx, c, steps, tile, pad)
-    return out, (z, s, neighbor_idx, c)
-
-
-def _crf_fused_bwd(steps, tile, pad, res, g):
-    z, s, neighbor_idx, c = res
-    _, vjp = jax.vjp(
-        lambda z_, s_, c_: _crf_scan(z_, s_, neighbor_idx, c_, steps),
-        z, s, c,
-    )
-    dz, ds, dc = vjp(g)
-    return dz, ds, None, dc
-
-
-_crf_fused.defvjp(_crf_fused_fwd, _crf_fused_bwd)
+    out = crf_core(zf, zp, s, neighbor_idx, M, steps, tile, pad, False)
+    return out.astype(z.dtype)
 
 
 _crf_scan_jit = jax.jit(_crf_scan, static_argnames=("steps",))

@@ -214,6 +214,33 @@ def _banded_setup(weights, idx, N, tile, pad, interpret):
 # host wrapper
 # ---------------------------------------------------------------------------
 
+def _compat_products(c, H):
+    """C = cᵀc, inv = (I+C)⁻¹, M = C·inv — the loop-invariant small
+    matrices, at full f32 precision (differentiable XLA ops: the
+    gradient into c flows through this chain outside crf_core)."""
+    hpm = jax.lax.Precision.HIGHEST
+    C = jnp.dot(c.T, c, precision=hpm).astype(jnp.float32)
+    chol = jax.lax.linalg.cholesky(jnp.eye(H, dtype=jnp.float32) + C)
+    inv_l = jax.lax.linalg.triangular_solve(
+        chol, jnp.eye(H, dtype=jnp.float32), left_side=True, lower=True
+    )
+    inv = jnp.dot(inv_l.T, inv_l, precision=hpm)
+    M = jnp.dot(C, inv, precision=hpm)
+    return C, inv, M
+
+
+def _to_t(a, front, npad, hp):
+    """[B, N, H] → zero-padded transposed plane [B, hp, npad]."""
+    B, N, H = a.shape
+    buf = jnp.zeros((B, npad, hp), jnp.float32)
+    buf = buf.at[:, front : front + N, :H].set(a.astype(jnp.float32))
+    return jnp.swapaxes(buf, 1, 2)
+
+
+def _from_t(aT, front, N, H):
+    return jnp.swapaxes(aT, 1, 2)[:, front : front + N, :H]
+
+
 @functools.partial(
     jax.jit, static_argnames=("steps", "tile", "pad", "interpret")
 )
@@ -232,67 +259,236 @@ def crf_mean_field_windowed_fused(
     Requires window-consistent same-scale indices (the pyramid from
     build_pyramid_windowed guarantees this; remove_self_loop preserves
     it).  Parity with the scan version is ~1e-4 relative (hi/lo bf16
-    splits of both operands; f32 accumulation).
+    splits of both operands; f32 accumulation).  Differentiable: the
+    VJP runs natively fused (crf_core).
     """
-    B, N, H = z.shape
-    K = idx.shape[-1]
+    H = z.shape[-1]
     if steps == 0:
         return z
+    hpm = jax.lax.Precision.HIGHEST
+    _, inv, M = _compat_products(c, H)
+    zf = z.astype(jnp.float32)
+    zp = jnp.einsum("bnh,hk->bnk", zf, inv, precision=hpm)
+    out = crf_core(zf, zp, s, idx, M, steps, tile, pad, interpret)
+    return out.astype(z.dtype)
+
+
+def _run_core(z, zp, s, idx, M, steps, tile, pad, interpret, save_stack):
+    """Dispatch the fused iterate kernel (optionally with the x-stack
+    residual output for the native backward)."""
+    B, N, H = z.shape
     a_hi, a_lo, tf, nt, front, w, npad = _banded_setup(
         s, idx, N, tile, pad, interpret
     )
     hp = max(_round_up(H, 8), 16)
-    tile = tf                     # all kernel-side math below uses TF
+    mt = jnp.zeros((hp, hp), jnp.float32).at[:H, :H].set(
+        M.astype(jnp.float32).T
+    )
+    zT = _to_t(z, front, npad, hp)
+    zpT = _to_t(zp, front, npad, hp)
+
+    kw = dict(steps=steps, nt=nt, tile=tf, w=w, front=front, hp=hp,
+              npad=npad)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),        # zT
+        pl.BlockSpec(memory_space=pl.ANY),        # z'T
+        pl.BlockSpec(memory_space=pl.ANY),        # A_hi
+        pl.BlockSpec(memory_space=pl.ANY),        # A_lo
+        pl.BlockSpec(
+            (hp, hp), lambda b: (0, 0), memory_space=pltpu.VMEM
+        ),                                        # Mᵀ
+    ]
+    scratch = [
+        pltpu.VMEM((2, hp, npad), jnp.float32),      # x ping-pong
+        pltpu.VMEM((hp, npad), jnp.float32),         # z' resident
+        pltpu.VMEM((2, 2, w, tf), jnp.bfloat16),     # A double buffer
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if save_stack:
+        out, stackT = pl.pallas_call(
+            functools.partial(_iterate_stack_kernel, **kw),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, hp, npad), jnp.float32),
+                jax.ShapeDtypeStruct((B, steps, hp, npad), jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(zT, zpT, a_hi, a_lo, mt)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_iterate_kernel, **kw),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((B, hp, npad), jnp.float32),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(zT, zpT, a_hi, a_lo, mt)
+        stackT = None
+    return _from_t(out, front, N, H), stackT
+
+
+def _banded_geometry(N, H, tile, pad):
+    """Pure kernel geometry (no arrays built)."""
+    from crfconv_tpu.ops.windowed import window_starts
+
+    _, width0, front0 = window_starts(N, N, tile, pad)
+    tf = 128
+    nt = -(-N // tf)
+    front = _round_up(front0, 128)
+    w = _round_up(front - front0 + max(tf - tile, 0) + width0, 128)
+    npad = _round_up(max((nt - 1) * tf + w, front + nt * tf), 128)
+    hp = max(_round_up(H, 8), 16)
+    return tf, nt, front, w, npad, hp
+
+
+def core_bwd_vmem_bytes(N, H, tile, pad):
+    """VMEM upper bound for the backward recurrence kernel: 5 resident
+    planes (λ ping-pong, u, dz', x_t) + the AT double buffer."""
+    tf, nt, front, w, npad, hp = _banded_geometry(N, H, tile, pad)
+    return 5 * hp * npad * 4 + 4 * tf * w * 2 + 2 * hp * hp * 4
+
+
+def _core_scan(z, zp, s, idx, M, steps, tile, pad):
+    """XLA reference/fallback for crf_core: the same linear iteration
+    through windowed gathers (differentiable; used as the VJP when the
+    backward kernel exceeds VMEM, and as the parity oracle in tests)."""
+    from crfconv_tpu.ops.windowed import windowed_gather
 
     hpm = jax.lax.Precision.HIGHEST
-    C = jnp.dot(c.T, c, precision=hpm).astype(jnp.float32)
-    chol = jax.lax.linalg.cholesky(jnp.eye(H, dtype=jnp.float32) + C)
-    inv_l = jax.lax.linalg.triangular_solve(
-        chol, jnp.eye(H, dtype=jnp.float32), left_side=True, lower=True
+    Mz = M.astype(z.dtype)
+
+    def body(x, _):
+        msg = windowed_gather(x, idx, tile, pad)
+        msg = jnp.einsum("bnk,bnkh->bnh", s, msg, precision=hpm)
+        return zp + jnp.dot(msg, Mz, precision=hpm), None
+
+    x, _ = jax.lax.scan(body, z, None, length=steps)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def crf_core(z, zp, s, idx, M, steps, tile=64, pad=128, interpret=False):
+    """x_steps of the linear iteration x ← z' + S̃(s, idx) x M, x_0 = z,
+    fully fused on-chip.  Differentiable in z, z', s, M (idx gets no
+    cotangent); the VJP is the native fused backward (reverse banded
+    recurrence) when it fits VMEM, else the scan VJP."""
+    out, _ = _run_core(
+        z, zp, s, idx, M, steps, tile, pad, interpret, save_stack=False
     )
-    inv = jnp.dot(inv_l.T, inv_l, precision=hpm)
-    M = jnp.dot(C, inv, precision=hpm)
-    mt = jnp.zeros((hp, hp), jnp.float32).at[:H, :H].set(M.T)
+    return out
 
-    zf = z.astype(jnp.float32)
-    zp_ = jnp.einsum("bnh,hk->bnk", zf, inv, precision=hpm)
 
-    def to_t(a):
-        buf = jnp.zeros((B, npad, hp), jnp.float32)
-        buf = buf.at[:, front : front + N, :H].set(a)
-        return jnp.swapaxes(buf, 1, 2)                   # [B, hp, npad]
+def _crf_core_fwd(z, zp, s, idx, M, steps, tile, pad, interpret):
+    save = (
+        core_bwd_vmem_bytes(z.shape[1], z.shape[2], tile, pad)
+        <= 12 * 1024 * 1024
+    )
+    out, stackT = _run_core(
+        z, zp, s, idx, M, steps, tile, pad, interpret, save_stack=save
+    )
+    return out, (z, zp, s, idx, M, stackT)
 
-    out = pl.pallas_call(
+
+def _crf_core_bwd(steps, tile, pad, interpret, res, g):
+    z, zp, s, idx, M, xstackT = res
+    B, N, H = z.shape
+    K = idx.shape[-1]
+    if xstackT is None:
+        # VMEM-bound fallback: differentiate the scan re-execution
+        _, vjp = jax.vjp(
+            lambda z_, zp_, s_, M_: _core_scan(
+                z_, zp_, s_, idx, M_, steps, tile, pad
+            ),
+            z, zp, s, M,
+        )
+        dz, dzp, ds, dM = vjp(g)
+        return dz, dzp, ds, None, dM
+
+    at_hi, at_lo, tf, nt, front, w, npad = _banded_setup_rows(
+        s, idx, N, tile, pad, interpret
+    )
+    hp = max(_round_up(H, 8), 16)
+    m_pad = jnp.zeros((hp, hp), jnp.float32).at[:H, :H].set(
+        M.astype(jnp.float32)
+    )
+    gT = _to_t(g, front, npad, hp)
+
+    lstackT, dzT, dzpT, dm = pl.pallas_call(
         functools.partial(
-            _iterate_kernel,
-            steps=steps, nt=nt, tile=tile, w=w, front=front, hp=hp,
-            npad=npad,
+            _bwd_iterate_kernel,
+            steps=steps, nt=nt, w=w, front=front, hp=hp, npad=npad,
         ),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),        # zT
-            pl.BlockSpec(memory_space=pl.ANY),        # z'T
-            pl.BlockSpec(memory_space=pl.ANY),        # A_hi
-            pl.BlockSpec(memory_space=pl.ANY),        # A_lo
+            pl.BlockSpec(memory_space=pl.ANY),    # gT
+            pl.BlockSpec(memory_space=pl.ANY),    # x stack
+            pl.BlockSpec(memory_space=pl.ANY),    # AT_hi
+            pl.BlockSpec(memory_space=pl.ANY),    # AT_lo
             pl.BlockSpec(
                 (hp, hp), lambda b: (0, 0), memory_space=pltpu.VMEM
-            ),                                           # Mᵀ
+            ),                                    # M
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, hp, npad), jnp.float32),
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),    # λ stack
+            pl.BlockSpec(memory_space=pl.ANY),    # dzT
+            pl.BlockSpec(memory_space=pl.ANY),    # dz'T
+            pl.BlockSpec(
+                (1, hp, hp), lambda b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                    # dM per batch
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, steps, hp, npad), jnp.float32),
+            jax.ShapeDtypeStruct((B, hp, npad), jnp.float32),
+            jax.ShapeDtypeStruct((B, hp, npad), jnp.float32),
+            jax.ShapeDtypeStruct((B, hp, hp), jnp.float32),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((2, hp, npad), jnp.float32),      # x ping-pong
-            pltpu.VMEM((hp, npad), jnp.float32),         # z' resident
-            pltpu.VMEM((2, 2, w, tile), jnp.bfloat16),   # A double buffer
+            pltpu.VMEM((2, hp, npad), jnp.float32),    # λ ping-pong
+            pltpu.VMEM((hp, npad), jnp.float32),       # u accumulator
+            pltpu.VMEM((hp, npad), jnp.float32),       # dz' accumulator
+            pltpu.VMEM((hp, npad), jnp.float32),       # x_t
+            pltpu.VMEM((2, 2, tf, w), jnp.bfloat16),   # AT double buffer
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(to_t(zf), to_t(zp_), a_hi, a_lo, mt)
+    )(gT, xstackT, at_hi, at_lo, m_pad)
 
-    res = jnp.swapaxes(out, 1, 2)[:, front : front + N, :H]
-    return res.astype(z.dtype)
+    # ds: one banded neighbor-dot over the stacked (λ_{t+1}, x_t·M) planes
+    hpm = jax.lax.Precision.HIGHEST
+    mtp = jnp.zeros((hp, hp), jnp.float32).at[:H, :H].set(
+        M.astype(jnp.float32).T
+    )
+    yT = jnp.einsum(
+        "hk,btkn->bthn", mtp, xstackT, precision=hpm
+    ).reshape(B, steps * hp, npad)
+    lam_nd = jnp.transpose(lstackT, (0, 3, 1, 2)).reshape(
+        B, npad, steps * hp
+    )
+    rel, *_ = _rel_row_blocks(idx, N, tile, pad)
+    dsb = banded_neighbor_dot(
+        lam_nd, yT, rel, front=front, w=w, interpret=interpret
+    )
+    ds = dsb.reshape(B, nt * tf, K)[:, :N].astype(s.dtype)
+
+    dz = _from_t(dzT, front, N, H).astype(z.dtype)
+    dzp = _from_t(dzpT, front, N, H).astype(zp.dtype)
+    dM = jnp.sum(dm, axis=0)[:H, :H].astype(M.dtype)
+    return dz, dzp, ds, None, dM
+
+
+crf_core.defvjp(_crf_core_fwd, _crf_core_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -447,3 +643,408 @@ def discrete_crf_windowed_fused(
 
     res = jnp.swapaxes(out, 1, 2)[:, front : front + N, :L]
     return res.astype(p.dtype)
+
+
+# ---------------------------------------------------------------------------
+# training support: native fused backward (VERDICT r2 #1)
+#
+# The iteration x_{t+1} = z' + S̃ x_t M is LINEAR in x, so its VJP is the
+# same banded machinery run in reverse:
+#     λ_t  = (S̃ᵀ λ_{t+1}) Mᵀ           (reverse recurrence, λ_steps = g)
+#     dz   = λ_0
+#     dz'  = Σ_{t=1..steps} λ_t
+#     dM   = Σ_t x_tᵀ (S̃ᵀ λ_{t+1})
+#     ds[m,k] = Σ_t ⟨λ_{t+1}[m], (x_t M)[idx[m,k]]⟩
+# S̃ᵀ restricted to a tile is the [tile, w] row-layout band block, so the
+# reverse recurrence keeps λ resident in VMEM exactly like the forward
+# keeps x; ds contracts the stacked (λ, x·M) planes with one banded
+# neighbor-dot kernel (no [B,N,K,T·H] materialization).
+# ---------------------------------------------------------------------------
+
+
+def _rel_row_blocks(idx, N, tile, pad):
+    """Banded relative indices in row layout [B, nt, 128, K] plus the
+    kernel geometry (tf=128-row tiles, window width w, front, npad)."""
+    from crfconv_tpu.ops.windowed import window_starts
+
+    B, _, K = idx.shape
+    starts0, width0, front0 = window_starts(N, N, tile, pad)
+    assert tile <= 128 and 128 % tile == 0
+    tf = 128
+    nt = -(-N // tf)
+    front = _round_up(front0, 128)
+    w = _round_up(front - front0 + max(tf - tile, 0) + width0, 128)
+    npad = _round_up(max((nt - 1) * tf + w, front + nt * tf), 128)
+    mpad = nt * tf - N
+    idx_p = jnp.pad(idx, ((0, 0), (0, mpad), (0, 0)))
+    tile_off = (jnp.arange(nt, dtype=jnp.int32) * tf)[None, :, None, None]
+    rel = jnp.clip(
+        idx_p.reshape(B, nt, tf, K).astype(jnp.int32) + front - tile_off,
+        0, w - 1,
+    )
+    return rel, tf, nt, front, w, npad
+
+
+def _build_a_row_kernel(s_ref, rel_ref, ahi_ref, alo_ref, *, w, tile, k_cols):
+    """Row-layout band blocks A_i [tile, w] (hi/lo bf16): row m holds
+    s[m, k] at window column rel[m, k] (duplicates accumulate)."""
+    s = s_ref[0, 0]          # [tile, K] f32
+    rel = rel_ref[0, 0]      # [tile, K] int32
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
+    acc = jnp.zeros((tile, w), jnp.float32)
+    for k in range(k_cols):
+        acc = acc + jnp.where(
+            rel[:, k : k + 1] == iota_w, s[:, k : k + 1], 0.0
+        )
+    hi = acc.astype(jnp.bfloat16)
+    ahi_ref[0, 0] = hi
+    alo_ref[0, 0] = (acc - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _banded_setup_rows(weights, idx, N, tile, pad, interpret):
+    """Row-layout sibling of _banded_setup (blocks [tile, w] instead of
+    [w, tile]) for the backward band product u = S̃ᵀ λ."""
+    B, _, K = idx.shape
+    rel, tf, nt, front, w, npad = _rel_row_blocks(idx, N, tile, pad)
+    mpad = nt * tf - N
+    w_p = jnp.pad(
+        weights.astype(jnp.float32), ((0, 0), (0, mpad), (0, 0))
+    ).reshape(B, nt, tf, K)
+
+    a_hi, a_lo = pl.pallas_call(
+        functools.partial(_build_a_row_kernel, w=w, tile=tf, k_cols=K),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, tf, K), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tf, K), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, tf, w), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tf, w), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nt, tf, w), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, nt, tf, w), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(w_p, rel)
+    return a_hi, a_lo, tf, nt, front, w, npad
+
+
+def _iterate_stack_kernel(
+    zT_ref, zpT_ref, ahi_ref, alo_ref, mt_ref, out_ref, stack_ref,
+    xbuf, zpbuf, abuf, sem_init, sem_a, sem_out,
+    *, steps, nt, tile, w, front, hp, npad,
+):
+    """Forward iterate kernel that additionally stores the pre-step state
+    x_t (t = 0..steps-1) to HBM — the residuals the linear VJP needs.
+    The stack copy is synchronous per step (~1 MB, negligible next to
+    the tile loop)."""
+    b = pl.program_id(0)
+    cp_z = pltpu.make_async_copy(zT_ref.at[b], xbuf.at[0], sem_init.at[0])
+    cp_zp = pltpu.make_async_copy(zpT_ref.at[b], zpbuf, sem_init.at[1])
+    cp_z.start()
+    cp_zp.start()
+
+    def a_copies(g, slot):
+        j = jax.lax.rem(g, nt)
+        return (
+            pltpu.make_async_copy(
+                ahi_ref.at[b, j], abuf.at[slot, 0], sem_a.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                alo_ref.at[b, j], abuf.at[slot, 1], sem_a.at[slot, 1]
+            ),
+        )
+
+    h0, l0 = a_copies(0, 0)
+    h0.start()
+    l0.start()
+    cp_z.wait()
+    cp_zp.wait()
+    xbuf[1] = jnp.zeros((hp, npad), jnp.float32)
+    mt = mt_ref[:]
+
+    total = steps * nt
+    for t in range(steps):
+        src, dst = t % 2, (t + 1) % 2
+        # store x_t before it is consumed (xbuf[src] is stable during
+        # step t: the step writes only into xbuf[dst])
+        cp_s = pltpu.make_async_copy(
+            xbuf.at[src], stack_ref.at[b, t], sem_out
+        )
+        cp_s.start()
+
+        def tile_body(i, carry, t=t, src=src, dst=dst):
+            g = t * nt + i
+            slot = jax.lax.rem(g, 2)
+
+            @pl.when(g + 1 < total)
+            def _():
+                nh, nl = a_copies(g + 1, jax.lax.rem(g + 1, 2))
+                nh.start()
+                nl.start()
+
+            ch, cl = a_copies(g, slot)
+            ch.wait()
+            cl.wait()
+
+            r0 = pl.multiple_of(i * tile, 128)
+            win = xbuf[src, :, pl.ds(r0, w)]
+            whi = win.astype(jnp.bfloat16)
+            wlo = (win - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ahi = abuf[slot, 0]
+            alo = abuf[slot, 1]
+            msg = (
+                jnp.dot(whi, ahi, preferred_element_type=jnp.float32)
+                + jnp.dot(wlo, ahi, preferred_element_type=jnp.float32)
+                + jnp.dot(whi, alo, preferred_element_type=jnp.float32)
+            )
+            o0 = pl.multiple_of(front + i * tile, 128)
+            xnew = zpbuf[:, pl.ds(o0, tile)] + jnp.dot(
+                mt, msg, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            xbuf[dst, :, pl.ds(o0, tile)] = xnew
+            return carry
+
+        jax.lax.fori_loop(0, nt, tile_body, 0)
+        cp_s.wait()
+
+    done = pltpu.make_async_copy(
+        xbuf.at[steps % 2], out_ref.at[b], sem_out
+    )
+    done.start()
+    done.wait()
+
+
+def _bwd_iterate_kernel(
+    gT_ref, xstackT_ref, athi_ref, atlo_ref, m_ref,
+    lstackT_ref, dzT_ref, dzpT_ref, dm_ref,
+    lbuf, ubuf, dzpbuf, xtbuf, atbuf, sem_init, sem_a, sem_io,
+    *, steps, nt, w, front, hp, npad,
+):
+    """Reverse recurrence λ_t = (S̃ᵀ λ_{t+1}) Mᵀ with λ resident in VMEM.
+
+    Per step: pass 1 accumulates u = S̃ᵀ λ (per tile, a [hp,128]×[128,w]
+    band matmul overlap-added into the u plane), pass 2 applies M
+    (λ_tT = M @ uT per tile), accumulates dM += x_tᵀ u_t and dz', and
+    writes λ_t to the λ stack for the ds contraction."""
+    tf = 128
+    b = pl.program_id(0)
+    cp_g = pltpu.make_async_copy(gT_ref.at[b], lbuf.at[0], sem_init.at[0])
+    cp_g2 = pltpu.make_async_copy(gT_ref.at[b], dzpbuf, sem_init.at[1])
+    cp_g.start()
+    cp_g2.start()
+
+    def at_copies(g, slot):
+        j = jax.lax.rem(g, nt)
+        return (
+            pltpu.make_async_copy(
+                athi_ref.at[b, j], atbuf.at[slot, 0], sem_a.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                atlo_ref.at[b, j], atbuf.at[slot, 1], sem_a.at[slot, 1]
+            ),
+        )
+
+    h0, l0 = at_copies(0, 0)
+    h0.start()
+    l0.start()
+    # x_{steps-1} for the first (t = steps-1) step
+    cp_x = pltpu.make_async_copy(
+        xstackT_ref.at[b, steps - 1], xtbuf, sem_io
+    )
+    cp_x.start()
+    cp_g.wait()
+    cp_g2.wait()
+    # Λ[steps-1] = λ_steps = g (the ds contraction reads it from HBM)
+    cp_gs = pltpu.make_async_copy(
+        gT_ref.at[b], lstackT_ref.at[b, steps - 1], sem_init.at[0]
+    )
+    cp_gs.start()
+    lbuf[1] = jnp.zeros((hp, npad), jnp.float32)   # finite halo
+    m = m_ref[:]                                   # [hp, hp] = M padded
+    dm_ref[0] = jnp.zeros((hp, hp), jnp.float32)
+    cp_gs.wait()
+    cp_x.wait()
+
+    total = steps * nt
+    for ti, t in enumerate(range(steps - 1, -1, -1)):
+        src, dst = ti % 2, (ti + 1) % 2
+        ubuf[:] = jnp.zeros((hp, npad), jnp.float32)
+
+        def tile_body(i, carry, ti=ti, src=src):
+            g = ti * nt + i
+            slot = jax.lax.rem(g, 2)
+
+            @pl.when(g + 1 < total)
+            def _():
+                nh, nl = at_copies(g + 1, jax.lax.rem(g + 1, 2))
+                nh.start()
+                nl.start()
+
+            ch, cl = at_copies(g, slot)
+            ch.wait()
+            cl.wait()
+
+            o0 = pl.multiple_of(front + i * tf, 128)
+            lt = lbuf[src, :, pl.ds(o0, tf)]       # [hp, tf] f32
+            lhi = lt.astype(jnp.bfloat16)
+            llo = (lt - lhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            at_hi = atbuf[slot, 0]                 # [tf, w] bf16
+            at_lo = atbuf[slot, 1]
+            contrib = (
+                jnp.dot(lhi, at_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(llo, at_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(lhi, at_lo, preferred_element_type=jnp.float32)
+            )                                      # [hp, w]
+            r0 = pl.multiple_of(i * tf, 128)
+            ubuf[:, pl.ds(r0, w)] = ubuf[:, pl.ds(r0, w)] + contrib
+            return carry
+
+        jax.lax.fori_loop(0, nt, tile_body, 0)
+
+        def tile_body2(i, carry, t=t, dst=dst):
+            o0 = pl.multiple_of(front + i * tf, 128)
+            ut = ubuf[:, pl.ds(o0, tf)]            # [hp, tf]
+            lt_new = jnp.dot(
+                m, ut, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            lbuf[dst, :, pl.ds(o0, tf)] = lt_new
+
+            @pl.when(t >= 1)
+            def _():
+                dzpbuf[:, pl.ds(o0, tf)] = (
+                    dzpbuf[:, pl.ds(o0, tf)] + lt_new
+                )
+
+            xt = xtbuf[:, pl.ds(o0, tf)]           # [hp, tf]
+            dm_ref[0] = dm_ref[0] + jax.lax.dot_general(
+                xt, ut, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nt, tile_body2, 0)
+
+        # Λ[t-1] = λ_t for the ds contraction (sync copy; the buffer is
+        # rewritten two steps later, well after this completes)
+        @pl.when(t >= 1)
+        def _():
+            cp_l = pltpu.make_async_copy(
+                lbuf.at[dst], lstackT_ref.at[b, t - 1], sem_io
+            )
+            cp_l.start()
+            cp_l.wait()
+
+        # prefetch x_{t-1} (xtbuf free: pass 2 of this step is done)
+        @pl.when(t >= 1)
+        def _():
+            cp_xn = pltpu.make_async_copy(
+                xstackT_ref.at[b, t - 1], xtbuf, sem_io
+            )
+            cp_xn.start()
+            cp_xn.wait()
+
+    final = steps % 2
+    cp_dz = pltpu.make_async_copy(lbuf.at[final], dzT_ref.at[b], sem_io)
+    cp_dz.start()
+    cp_dz.wait()
+    cp_dzp = pltpu.make_async_copy(dzpbuf, dzpT_ref.at[b], sem_io)
+    cp_dzp.start()
+    cp_dzp.wait()
+
+
+def _nbr_dot_kernel(
+    a_ref, bT_ref, rel_ref, out_ref, win_ref, sem,
+    *, w, k_cols, d,
+):
+    """Banded neighbor dot: out[m, k] = ⟨a[m], b[idx[m, k]]⟩ over D
+    features, per 128-row tile.  G = A_tile @ B_winᵀ is one MXU matmul
+    (hi/lo bf16 split of both operands); the K columns are then
+    extracted with iota-compare row reductions."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    tf = 128
+    copy = pltpu.make_async_copy(
+        bT_ref.at[b, :, pl.ds(i * tf, w)], win_ref, sem
+    )
+    copy.start()
+    a = a_ref[0]                                   # [tf, D] f32
+    ahi = a.astype(jnp.bfloat16)
+    alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+    copy.wait()
+    win = win_ref[:]                               # [D, w] f32
+    whi = win.astype(jnp.bfloat16)
+    wlo = (win - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+    G = (
+        jnp.dot(ahi, whi, preferred_element_type=jnp.float32)
+        + jnp.dot(alo, whi, preferred_element_type=jnp.float32)
+        + jnp.dot(ahi, wlo, preferred_element_type=jnp.float32)
+    )                                              # [tf, w]
+    rel = rel_ref[0, 0]                            # [tf, K] int32
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (tf, w), 1)
+    cols = []
+    for k in range(k_cols):
+        sel = jnp.where(rel[:, k : k + 1] == iota_w, G, 0.0)
+        cols.append(jnp.sum(sel, axis=1, keepdims=True))
+    out_ref[0, 0] = jnp.concatenate(cols, axis=1)
+
+
+def banded_neighbor_dot(
+    a_nd: jnp.ndarray,
+    b_td: jnp.ndarray,
+    rel: jnp.ndarray,
+    *,
+    front: int,
+    w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[b, i, m, k] = ⟨a_nd[b, front + i·128 + m], b_td[b, :, rel]⟩.
+
+    a_nd: [B, npad, D] query-major stacked features.
+    b_td: [B, D, npad] source-major (transposed) stacked features.
+    rel:  [B, nt, 128, K] window-relative indices (from _rel_row_blocks).
+    """
+    B, nt, tf, K = rel.shape
+    D = a_nd.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_nbr_dot_kernel, w=w, k_cols=K, d=D),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tf, D), lambda b, i: (b, front // 128 + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),     # b_td in HBM
+            pl.BlockSpec(
+                (1, 1, tf, K), lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tf, K), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nt, tf, K), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((D, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(a_nd, b_td, rel)

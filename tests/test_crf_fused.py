@@ -82,17 +82,13 @@ def test_fused_duplicate_and_masked_neighbors():
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
 
 
-def test_fused_vjp_matches_scan_grad(monkeypatch):
-    """The custom VJP routes backward through the scan: grads of the
-    dispatcher must equal grads of the scan exactly."""
-    from crfconv_tpu.ops import crf as crf_mod
-
+def test_fused_vjp_matches_scan_grad():
+    """Gradients of the public fused wrapper (NATIVE fused VJP since r3)
+    must match autodiff through the scan, including the small-matrix
+    chain into c."""
     b, n, h, k, steps = 1, 256, 8, 5, 3
     z, s, idx, c = _inputs(b, n, h, k, seed=3)
     zj, sj, ij, cj = map(jnp.asarray, (z, s, idx, c))
-    # linear loss → constant cotangent → both paths route the SAME g
-    # through the scan VJP and must agree exactly (a quadratic loss would
-    # fold the ~1e-4 fused-vs-scan forward delta into the cotangent)
     gw = jnp.asarray(
         np.random.default_rng(8).standard_normal((b, n, h)), jnp.float32
     )
@@ -102,29 +98,24 @@ def test_fused_vjp_matches_scan_grad(monkeypatch):
 
     def loss_fused(z_, s_, c_):
         return jnp.sum(
-            crf_mod._crf_fused(z_, s_, ij, c_, steps, 128, 192) * gw
+            crf_mean_field_windowed_fused(
+                z_, s_, ij, c_, steps, 128, 192, interpret=True
+            )
+            * gw
         )
-
-    # force the fused forward through the interpret-mode kernel on CPU
-    from crfconv_tpu.ops import crf_pallas
-
-    orig = crf_pallas.crf_mean_field_windowed_fused
-    monkeypatch.setattr(
-        crf_pallas, "crf_mean_field_windowed_fused",
-        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
-    )
 
     g_ref = jax.grad(loss_scan, argnums=(0, 1, 2))(zj, sj, cj)
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(zj, sj, cj)
     for a, b_ in zip(g_ref, g_fused):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
-        )
+        aa, bb = np.asarray(a), np.asarray(b_)
+        rel = np.abs(aa - bb).max() / (np.abs(aa).max() + 1e-9)
+        assert rel < 2e-5, rel
 
 
 def test_dispatch_stays_on_scan_for_training():
-    """crf_mean_field with allow_fused=False (training) must not touch the
-    Pallas path even in windowed mode."""
+    """crf_mean_field with allow_fused=False must not touch the Pallas
+    path even in windowed mode (models pass allow_fused=True since r3 —
+    the flag remains the opt-out for debugging/parity runs)."""
     from crfconv_tpu.ops.neighbors import neighbor_mode
 
     b, n, h, k = 1, 256, 8, 5
@@ -207,3 +198,112 @@ def test_crf_mean_field_is_unjitted_dispatcher():
     assert not hasattr(crf.crf_mean_field, "lower"), (
         "crf_mean_field must not be jax.jit-wrapped"
     )
+
+
+class TestCrfCoreNativeBwd:
+    """The native fused backward (r3): crf_core's custom VJP — a reverse
+    banded recurrence — vs autodiff through the scan re-execution."""
+
+    def _geom(self, b=2, n=512, h=16, k=9, seed=7):
+        from crfconv_tpu.ops.morton import morton_order
+        from crfconv_tpu.ops.windowed import window_knn
+
+        rng = np.random.default_rng(seed)
+        pos = jnp.asarray(rng.random((b, n, 3), dtype=np.float32))
+        o = morton_order(pos)
+        pos = jnp.take_along_axis(pos, o[..., None], axis=1)
+        idx = window_knn(pos, k)
+        z = jnp.asarray(rng.standard_normal((b, n, h)).astype(np.float32))
+        zp = jnp.asarray(rng.standard_normal((b, n, h)).astype(np.float32))
+        s = jnp.asarray(rng.random((b, n, k), dtype=np.float32))
+        s = s / s.sum(-1, keepdims=True)
+        M = jnp.asarray(
+            (0.1 * rng.standard_normal((h, h))).astype(np.float32)
+        )
+        return z, zp, s, idx, M
+
+    @pytest.mark.parametrize("steps", [1, 4])
+    def test_grad_matches_scan(self, steps):
+        from crfconv_tpu.ops.crf_pallas import _core_scan, crf_core
+
+        z, zp, s, idx, M = self._geom()
+        rng = np.random.default_rng(8)
+        gw = jnp.asarray(
+            rng.standard_normal(z.shape).astype(np.float32)
+        )
+
+        def loss_ref(z_, zp_, s_, M_):
+            return jnp.sum(_core_scan(z_, zp_, s_, idx, M_, steps, 64, 128) * gw)
+
+        def loss_core(z_, zp_, s_, M_):
+            return jnp.sum(crf_core(z_, zp_, s_, idx, M_, steps, 64, 128, True) * gw)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(z, zp, s, M)
+        g_core = jax.grad(loss_core, argnums=(0, 1, 2, 3))(z, zp, s, M)
+        for name, a, b in zip(("dz", "dzp", "ds", "dM"), g_ref, g_core):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+            assert rel < 2e-5, (name, rel)
+
+    def test_grad_through_crf_fused_composition(self):
+        """Gradient wrt (z, s, c) through the full _crf_fused composition
+        (compat products + crf_core) vs the plain scan — the exact path
+        models take in training."""
+        from crfconv_tpu.ops import crf as crf_mod
+
+        z, _, s, idx, _ = self._geom(h=16)
+        rng = np.random.default_rng(9)
+        c = jnp.asarray(
+            (0.2 * rng.standard_normal((16, 16))).astype(np.float32)
+        )
+        gw = jnp.asarray(rng.standard_normal(z.shape).astype(np.float32))
+        steps = 3
+
+        def loss_scan(z_, s_, c_):
+            return jnp.sum(crf_mod._crf_scan(z_, s_, idx, c_, steps) * gw)
+
+        def loss_fused(z_, s_, c_):
+            from crfconv_tpu.ops.crf_pallas import (
+                _compat_products, crf_core,
+            )
+
+            _, inv, M = _compat_products(c_, 16)
+            zp = jnp.einsum(
+                "bnh,hk->bnk", z_, inv,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.sum(
+                crf_core(z_, zp, s_, idx, M, steps, 64, 128, True) * gw
+            )
+
+        g_ref = jax.grad(loss_scan, argnums=(0, 1, 2))(z, s, c)
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(z, s, c)
+        for name, a, b in zip(("dz", "ds", "dc"), g_ref, g_fused):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+            assert rel < 2e-5, (name, rel)
+
+    def test_vmem_fallback_grad(self, monkeypatch):
+        """When the backward kernel exceeds VMEM the VJP must fall back
+        to the scan re-execution and still be correct."""
+        from crfconv_tpu.ops import crf_pallas
+
+        monkeypatch.setattr(
+            crf_pallas, "core_bwd_vmem_bytes", lambda *a: 10**12
+        )
+        from crfconv_tpu.ops.crf_pallas import _core_scan, crf_core
+
+        z, zp, s, idx, M = self._geom(n=256, k=5)
+        gw = jnp.ones_like(z)
+        steps = 2
+
+        def loss_ref(z_):
+            return jnp.sum(_core_scan(z_, zp, s, idx, M, steps, 64, 128) * gw)
+
+        def loss_core(z_):
+            return jnp.sum(crf_core(z_, zp, s, idx, M, steps, 64, 128, True) * gw)
+
+        a = np.asarray(jax.grad(loss_ref)(z))
+        b = np.asarray(jax.grad(loss_core)(z))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 2e-5, rel
