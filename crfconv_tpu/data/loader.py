@@ -164,3 +164,20 @@ class MultiscaleLoader:
                 yield item
         finally:
             stop.set()
+
+
+def loader_state_dict(loader: "MultiscaleLoader") -> dict:
+    """Checkpointable loader state: the sample-draw RNG (and, when the
+    dataset owns a possibility sampler, its state too)."""
+    state = {"rng_state": loader.rng.bit_generator.state}
+    sampler = getattr(loader.dataset, "sampler", None)
+    if sampler is not None and hasattr(sampler, "state_dict"):
+        state["sampler"] = sampler.state_dict()
+    return state
+
+
+def loader_load_state_dict(loader: "MultiscaleLoader", state: dict) -> None:
+    loader.rng.bit_generator.state = state["rng_state"]
+    sampler = getattr(loader.dataset, "sampler", None)
+    if sampler is not None and "sampler" in state:
+        sampler.load_state_dict(state["sampler"])

@@ -103,3 +103,24 @@ class PossibilitySampler:
         if self.labels is not None:
             out["y"] = self.labels[cloud_idx][query_idx].astype(np.int64)
         return out
+
+    # ------------------------------------------------------------------
+    # checkpointable state (VERDICT r2 #7: a resume must replay the same
+    # crop schedule — the possibility arrays and RNG are the schedule)
+    # ------------------------------------------------------------------
+    def state_dict(self) -> dict:
+        return {
+            "possibility": [p.copy() for p in self.possibility],
+            "min_possibility": list(self.min_possibility),
+            "rng_state": self.rng.bit_generator.state,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        assert len(state["possibility"]) == len(self.possibility), (
+            "sampler state does not match this dataset's cloud count"
+        )
+        self.possibility = [
+            np.asarray(p, np.float64) for p in state["possibility"]
+        ]
+        self.min_possibility = [float(m) for m in state["min_possibility"]]
+        self.rng.bit_generator.state = state["rng_state"]

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import pickle
 import shutil
 from typing import Any, Optional
 
@@ -41,16 +42,30 @@ class CheckpointManager:
         os.replace(tmp, self._meta_path())
 
     def save(
-        self, state: Any, step: int, metric: Optional[float] = None
+        self,
+        state: Any,
+        step: int,
+        metric: Optional[float] = None,
+        aux: Optional[dict] = None,
     ) -> str:
         """Atomically write a checkpoint; track best by metric (higher is
-        better); prune beyond ``keep`` (best is always retained)."""
+        better); prune beyond ``keep`` (best is always retained).
+
+        ``aux`` is an optional host-side state dict (sampler possibility
+        arrays, loader RNG, epoch counter — VERDICT r2 #7) written as a
+        pickle sidecar next to the msgpack, equally atomically."""
         name = f"ckpt_{step:08d}.msgpack"
         path = os.path.join(self.directory, name)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(flax.serialization.to_bytes(state))
         os.replace(tmp, path)
+        if aux is not None:
+            apath = path + ".aux.pkl"
+            atmp = apath + ".tmp"
+            with open(atmp, "wb") as f:
+                pickle.dump(aux, f)
+            os.replace(atmp, apath)
 
         meta = self._load_meta()
         meta["checkpoints"].append(
@@ -71,6 +86,8 @@ class CheckpointManager:
             vp = os.path.join(self.directory, victim["name"])
             if os.path.exists(vp):
                 os.remove(vp)
+            if os.path.exists(vp + ".aux.pkl"):
+                os.remove(vp + ".aux.pkl")
         self._store_meta(meta)
         return path
 
@@ -92,3 +109,14 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         with open(path, "rb") as f:
             return flax.serialization.from_bytes(target, f.read())
+
+    def restore_aux(self, path: Optional[str] = None) -> Optional[dict]:
+        """The aux sidecar of a checkpoint (None if it has none)."""
+        path = path or self.latest_path()
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        apath = path + ".aux.pkl"
+        if not os.path.exists(apath):
+            return None
+        with open(apath, "rb") as f:
+            return pickle.load(f)

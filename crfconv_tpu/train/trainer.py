@@ -300,11 +300,21 @@ class Trainer:
                 merged[k] = jnp.concatenate(vals, axis=0)
         return merged
 
-    def train_one_epoch(self, epoch: int) -> dict:
+    def train_one_epoch(self, epoch: int, preempted: Optional[dict] = None) -> dict:
         self.metrics.reset()
         losses = []
         confusion = None
-        for batch in self.train_loader:
+        for step_i, batch in enumerate(self.train_loader):
+            # STEP-granular preemption (VERDICT r2 #7): an epoch can be
+            # thousands of samples; checking only at epoch boundaries
+            # loses up to an epoch of work on SIGTERM
+            if (
+                preempted is not None
+                and step_i % 10 == 0
+                and preempted["flag"]
+            ):
+                preempted["mid_epoch"] = True
+                break
             self.rng, sub = jax.random.split(self.rng)
             self.state, m = self._train_step(
                 self.state, self._place(batch), sub
@@ -317,7 +327,11 @@ class Trainer:
             )
         if confusion is not None:
             self.metrics.update_confusion(np.asarray(confusion))
-        return {"loss": float(np.mean([float(l) for l in losses]))}
+        return {
+            "loss": float(np.mean([float(l) for l in losses]))
+            if losses
+            else float("nan")
+        }
 
     def val_one_epoch(self, epoch: int) -> dict:
         self.metrics.reset()
@@ -354,16 +368,60 @@ class Trainer:
             signal.signal(signal.SIGTERM, old_term)
             signal.signal(signal.SIGINT, old_int)
 
+    # ------------------------------------------------------------------
+    # host-side resume state (sampler possibility arrays + RNGs): without
+    # it a resumed run replays a DIFFERENT crop schedule (VERDICT r2 #7)
+    # ------------------------------------------------------------------
+    def _aux_state(self, epoch: int) -> dict:
+        from crfconv_tpu.data.loader import loader_state_dict
+
+        return {
+            "epoch": epoch,
+            "trainer_rng": np.asarray(self.rng),
+            "train_loader": loader_state_dict(self.train_loader),
+        }
+
+    def _load_aux(self, aux: dict) -> int:
+        from crfconv_tpu.data.loader import loader_load_state_dict
+
+        self.rng = jnp.asarray(aux["trainer_rng"])
+        loader_load_state_dict(self.train_loader, aux["train_loader"])
+        return int(aux["epoch"])
+
+    def resume(self, path: Optional[str] = None) -> int:
+        """Restore the latest (or given) checkpoint + host state; returns
+        the epoch to continue from."""
+        self.state = self.ckpt.restore(self.state, path)
+        aux = self.ckpt.restore_aux(path)
+        self._start_epoch = self._load_aux(aux) if aux is not None else 0
+        log.info(
+            "resumed from step %d (epoch %d)",
+            int(self.state.step), self._start_epoch,
+        )
+        return self._start_epoch
+
     def _train_loop(self, preempted) -> float:
         best_iou = 0.0
-        for epoch in range(self.cfg.epochs):
+        for epoch in range(getattr(self, "_start_epoch", 0), self.cfg.epochs):
             if preempted["flag"]:
-                self.ckpt.save(self.state, step=int(self.state.step))
+                self.ckpt.save(
+                    self.state, step=int(self.state.step),
+                    aux=self._aux_state(epoch),
+                )
                 log.warning("preempted at epoch %d; checkpoint saved", epoch)
                 break
             t1 = time.time()
-            tr = self.train_one_epoch(epoch)
+            tr = self.train_one_epoch(epoch, preempted)
             t2 = time.time()
+            if preempted.get("mid_epoch"):
+                self.ckpt.save(
+                    self.state, step=int(self.state.step),
+                    aux=self._aux_state(epoch),
+                )
+                log.warning(
+                    "preempted mid-epoch %d; checkpoint saved", epoch
+                )
+                break
             scores, _ = self.metrics.get_scores()
             log.info(
                 "epoch %d train: loss=%.4f OA=%.2f%% mIoU=%.2f%% (%.1fs)",
@@ -382,7 +440,8 @@ class Trainer:
                 if miou >= best_iou:
                     best_iou = miou
                 self.ckpt.save(
-                    self.state, step=int(self.state.step), metric=miou
+                    self.state, step=int(self.state.step), metric=miou,
+                    aux=self._aux_state(epoch + 1),
                 )
         log.info("training finished, best mIoU %.2f%%", best_iou * 100)
         return best_iou

@@ -101,3 +101,75 @@ class TestCheckpointManager:
         np.testing.assert_allclose(best["a"], 2.0)
         latest = mgr.restore({"a": np.zeros(4, np.float32)})
         np.testing.assert_allclose(latest["a"], 3.0)
+
+
+class TestPreemptResume:
+    def test_sampler_state_roundtrip(self):
+        """Sampler serialization must reproduce the exact crop schedule."""
+        from crfconv_tpu.data.sampler import PossibilitySampler
+
+        rng = np.random.default_rng(0)
+        clouds = [rng.random((300, 3)).astype(np.float32) for _ in range(2)]
+        a = PossibilitySampler(clouds, 64, seed=3)
+        for _ in range(5):
+            a.sample()
+        state = a.state_dict()
+        ref = [a.sample() for _ in range(4)]
+
+        b = PossibilitySampler(clouds, 64, seed=99)  # different seed
+        b.load_state_dict(state)
+        out = [b.sample() for _ in range(4)]
+        for r, o in zip(ref, out):
+            np.testing.assert_array_equal(r["point_idx"], o["point_idx"])
+            np.testing.assert_array_equal(r["cloud_idx"], o["cloud_idx"])
+            np.testing.assert_allclose(r["pos"], o["pos"])
+
+    def test_kill_and_resume_reproduces_stream(self, tmp_path_factory):
+        """A preempted run, resumed from its checkpoint, must draw the
+        SAME subsequent sample stream as an uninterrupted run
+        (VERDICT r2 #7)."""
+        root = str(tmp_path_factory.mktemp("s3dis_resume"))
+        _make_s3dis_raw(root, n_rooms=2, n_pts=500)
+
+        def make(ck):
+            cfg = S3DISConfig(
+                root=root, mode="train", use_crf=False, steps=1,
+                grid_size=0.2, sample_num=128, batch_size=2, epochs=2,
+                train_samples_per_epoch=4, val_samples_per_epoch=2,
+                checkpoint_dir=ck,
+            )
+            return Trainer(cfg, seed=0)
+
+        ck = str(tmp_path_factory.mktemp("ckpt_resume"))
+        t1 = make(ck)
+        # run one epoch, then simulate a mid-run preemption save
+        t1.train_one_epoch(0)
+        t1.ckpt.save(
+            t1.state, step=int(t1.state.step), aux=t1._aux_state(1)
+        )
+        # reference: continue drawing from the LIVE loader
+        ref_stream = [
+            t1.train_loader.dataset.get_sample(t1.train_loader.rng)
+            for _ in range(4)
+        ]
+
+        # fresh process: new trainer, resume, draw the same stream
+        t2 = make(ck)
+        start = t2.resume()
+        assert start == 1
+        out_stream = [
+            t2.train_loader.dataset.get_sample(t2.train_loader.rng)
+            for _ in range(4)
+        ]
+        for r, o in zip(ref_stream, out_stream):
+            np.testing.assert_array_equal(r["point_idx"], o["point_idx"])
+        # model state restored too
+        assert int(t2.state.step) == int(t1.state.step)
+
+    def test_mid_epoch_preemption_breaks_loop(self, tiny_cfg):
+        """A set preemption flag stops train_one_epoch at a step boundary
+        and marks mid_epoch."""
+        trainer = Trainer(tiny_cfg, seed=1)
+        pre = {"flag": True}
+        trainer.train_one_epoch(0, pre)
+        assert pre.get("mid_epoch") is True
