@@ -1,0 +1,241 @@
+"""S3DIS Area-5 mIoU parity runbook (VERDICT r2 #4; BASELINE.json ±0.3).
+
+One command that, given the raw S3DIS dataset, trains BOTH the torch
+oracle (a faithful re-execution of the reference recipe,
+trainval.py:21-155 + test_s3dis :218-327) and this framework's flagship
+on the same room pipeline, runs the labeled vote test for each, and
+prints the full-cloud mIoU delta:
+
+    python -m crfconv_tpu.parity --root /data/S3DIS [--epochs 100]
+
+``--dry-run`` builds a tiny synthetic raw corpus and runs the whole
+harness end-to-end in minutes — the harness itself is CI-verified now so
+the real-data run is one command the moment data is mounted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger("crfconv_tpu")
+
+MIOU_TOLERANCE = 0.003  # ±0.3 mIoU points (BASELINE.json north star)
+
+
+def _scales_to_torch(scales):
+    import torch
+
+    return [
+        {
+            "pos": torch.from_numpy(np.asarray(s.pos)),
+            "neighbor_idx": torch.from_numpy(np.asarray(s.neighbor_idx)),
+            "sub_idx": (
+                None
+                if s.sub_idx is None
+                else torch.from_numpy(np.asarray(s.sub_idx))
+            ),
+            "up_idx": (
+                None
+                if s.up_idx is None
+                else torch.from_numpy(np.asarray(s.up_idx))
+            ),
+        }
+        for s in scales
+    ]
+
+
+def run_torch_reference(cfg, dataset, seed: int = 0, num_votes: int = 100):
+    """Train + vote-test the torch oracle with the reference recipe:
+    SGD(momentum 0.95, wd 1e-4) + per-epoch ExponentialLR(gamma),
+    weighted CE (trainval.py:69-73, :101-104), vote smooth 0.95 with the
+    labeled-eval projection (test_s3dis)."""
+    import torch
+    import torch.nn.functional as F
+
+    from crfconv_tpu.data import transforms as T
+    from crfconv_tpu.data.loader import MultiscaleLoader
+    from crfconv_tpu.parity.oracle import TorchPointConvResNet
+    from crfconv_tpu.train.vote import labeled_vote_eval
+
+    torch.manual_seed(seed)
+    train_loader = MultiscaleLoader(
+        dataset.train_set, cfg.batch_size,
+        transform=T.default_train_transform(), seed=seed,
+        kernel_sizes=cfg.kernel_sizes, ratios=cfg.ratios, k_up=cfg.k_up,
+        device_put=False,
+    )
+    val_loader = MultiscaleLoader(
+        dataset.test_set, cfg.batch_size,
+        transform=T.default_test_transform(), seed=seed + 1,
+        kernel_sizes=cfg.kernel_sizes, ratios=cfg.ratios, k_up=cfg.k_up,
+        device_put=False,
+    )
+    model = TorchPointConvResNet(
+        6, cfg.num_classes, use_crf=cfg.use_crf, steps=cfg.steps
+    )
+    opt = torch.optim.SGD(
+        model.parameters(), lr=cfg.lr, momentum=cfg.momentum,
+        weight_decay=cfg.weight_decay,
+    )
+    sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=cfg.gamma)
+    cw = cfg.class_weights
+    cw = None if cw is None else torch.from_numpy(np.asarray(cw, np.float32))
+
+    def to_torch(batch):
+        x = torch.from_numpy(np.asarray(batch.x))
+        y = (
+            None
+            if batch.y is None
+            else torch.from_numpy(np.asarray(batch.y)).long()
+        )
+        return x, y, _scales_to_torch(batch.scales)
+
+    model.train()
+    for epoch in range(cfg.epochs):
+        tot, n = 0.0, 0
+        for batch in train_loader:
+            x, y, scales = to_torch(batch)
+            logits = model(x, scales)
+            y = (y - cfg.label_offset).reshape(-1)
+            loss = F.cross_entropy(
+                logits.reshape(-1, cfg.num_classes), y, weight=cw,
+                ignore_index=cfg.ignore_index,
+            )
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            tot, n = tot + float(loss), n + 1
+        sched.step()
+        log.info("torch epoch %d: loss=%.4f", epoch, tot / max(n, 1))
+
+    # labeled vote test, exact reference semantics
+    model.eval()
+    ds = dataset.test_set
+    test_probs = [
+        np.zeros((c.shape[0], cfg.num_classes), np.float32)
+        for c in ds.input_points
+    ]
+
+    def vote_epoch():
+        with torch.no_grad():
+            for batch in val_loader:
+                x, _, scales = to_torch(batch)
+                probs = torch.softmax(model(x, scales), dim=-1)
+                probs = probs.reshape(
+                    x.shape[0], -1, cfg.num_classes
+                ).numpy()
+                p_idx = np.asarray(batch.point_idx)
+                c_idx = np.asarray(batch.cloud_idx).reshape(-1)
+                for b in range(probs.shape[0]):
+                    c = int(c_idx[b])
+                    test_probs[c][p_idx[b]] = (
+                        cfg.test_smooth * test_probs[c][p_idx[b]]
+                        + (1 - cfg.test_smooth) * probs[b]
+                    )
+
+    return labeled_vote_eval(ds, vote_epoch, test_probs, num_votes)
+
+
+def make_synthetic_raw(root: str, n_rooms: int = 2, n_pts: int = 500):
+    """Tiny synthetic S3DIS raw corpus (same layout the dataset's
+    process() consumes) for the --dry-run harness check."""
+    rng = np.random.default_rng(0)
+    raw = os.path.join(root, "raw")
+    data_dir = os.path.join(raw, "Stanford3dDataset_v1.2_Aligned_Version")
+    for area in (1, 5):
+        rels = []
+        for r in range(n_rooms):
+            rel = f"Area_{area}/office_{r}/Annotations"
+            anno = os.path.join(data_dir, rel)
+            os.makedirs(anno, exist_ok=True)
+            for cls in ("wall_1", "floor_1", "chair_1"):
+                pts = np.column_stack([
+                    rng.random((n_pts, 3)) * 3,
+                    rng.integers(0, 255, (n_pts, 3)),
+                ])
+                np.savetxt(os.path.join(anno, cls + ".txt"), pts, fmt="%.4f")
+            rels.append(rel)
+        with open(os.path.join(raw, f"Area_{area}_anno.txt"), "w") as f:
+            f.write("\n".join(rels) + "\n")
+
+
+def run_parity(
+    root: str,
+    epochs: Optional[int] = None,
+    num_votes: int = 100,
+    seed: int = 0,
+    dry_run: bool = False,
+    out: Optional[str] = None,
+) -> dict:
+    """Train + vote-test both sides on S3DIS Area-5; return the report."""
+    from crfconv_tpu.data import datasets as D
+    from crfconv_tpu.train.config import S3DISConfig
+    from crfconv_tpu.train.trainer import Trainer
+
+    if dry_run:
+        make_synthetic_raw(root)
+        cfg = S3DISConfig(
+            root=root, mode="train", use_crf=True, steps=1, grid_size=0.2,
+            sample_num=128, batch_size=2, epochs=epochs or 1,
+            train_samples_per_epoch=4, val_samples_per_epoch=2,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        num_votes = min(num_votes, 2)
+    else:
+        cfg = S3DISConfig(root=root, mode="train")
+        if epochs is not None:
+            cfg = dataclasses.replace(cfg, epochs=epochs)
+
+    def build_dataset():
+        return D.S3DISRoomDataset(
+            cfg.root, test_area=cfg.test_area, grid_size=cfg.grid_size,
+            num_points=cfg.sample_num,
+            train_sample_per_epoch=cfg.train_samples_per_epoch,
+            test_sample_per_epoch=cfg.val_samples_per_epoch,
+        )
+
+    # JAX side (fresh dataset instance: sampler state starts identically)
+    log.info("parity: training the crfconv_tpu flagship ...")
+    trainer = Trainer(cfg, dataset=build_dataset(), seed=seed)
+    trainer.train()
+    jax_res = trainer.test_labeled(num_votes)
+
+    # torch oracle side
+    log.info("parity: training the torch reference oracle ...")
+    torch_res = run_torch_reference(
+        cfg, build_dataset(), seed=seed, num_votes=num_votes
+    )
+
+    jm = jax_res.get("full_mIoU", float("nan"))
+    tm = torch_res.get("full_mIoU", float("nan"))
+    delta = jm - tm
+    report = {
+        "jax_full_mIoU": jm,
+        "torch_full_mIoU": tm,
+        "delta": delta,
+        "tolerance": MIOU_TOLERANCE,
+        "within_tolerance": bool(abs(delta) <= MIOU_TOLERANCE),
+        "jax": jax_res,
+        "torch": torch_res,
+        "config": {
+            "epochs": cfg.epochs, "sample_num": cfg.sample_num,
+            "batch_size": cfg.batch_size, "grid_size": cfg.grid_size,
+            "num_votes": num_votes, "dry_run": dry_run,
+        },
+    }
+    print(json.dumps(
+        {k: report[k] for k in (
+            "jax_full_mIoU", "torch_full_mIoU", "delta",
+            "within_tolerance",
+        )}
+    ))
+    if out:
+        with open(out, "w") as f:
+            json.dump(report, f, indent=2)
+    return report

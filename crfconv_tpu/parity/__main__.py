@@ -1,0 +1,35 @@
+"""CLI for the S3DIS parity runbook: python -m crfconv_tpu.parity --root ..."""
+
+import argparse
+import logging
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description="S3DIS Area-5 mIoU parity: crfconv_tpu vs the torch "
+        "reference oracle (BASELINE.json ±0.3)"
+    )
+    ap.add_argument("--root", required=True, help="S3DIS dataset root "
+                    "(raw/Stanford3dDataset_v1.2_Aligned_Version inside)")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--num-votes", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None, help="write the full JSON report")
+    ap.add_argument(
+        "--dry-run", action="store_true",
+        help="synthesize a tiny raw corpus under --root and run the whole "
+        "harness end-to-end (CI check; minutes, not hours)",
+    )
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    from crfconv_tpu.parity import run_parity
+
+    run_parity(
+        args.root, epochs=args.epochs, num_votes=args.num_votes,
+        seed=args.seed, dry_run=args.dry_run, out=args.out,
+    )
+
+
+if __name__ == "__main__":
+    main()

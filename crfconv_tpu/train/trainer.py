@@ -512,70 +512,16 @@ class Trainer:
 
     def test_labeled(self, num_votes: int = 100) -> dict:
         """Labeled vote eval: sub-cloud + reprojected full-cloud IoU with
-        class-proportion rescaling (trainval.py:218-327, test_s3dis)."""
-        cfg = self.cfg
-        ds = self.val_set
-        label_values = ds.label_values
-        class_proportions = np.array(
-            [
-                np.sum([np.sum(l == lv) for l in ds.val_labels])
-                for lv in label_values
-            ],
-            np.float32,
+        class-proportion rescaling (trainval.py:218-327, test_s3dis).
+        Core logic shared with the parity harness (train/vote.py)."""
+        from crfconv_tpu.train.vote import labeled_vote_eval
+
+        return labeled_vote_eval(
+            self.val_set,
+            lambda: self._vote_epoch(self.cfg.test_smooth),
+            self.test_probs,
+            num_votes,
         )
-        results = {}
-        last_min, epoch = -0.5, 0
-        while last_min < num_votes:
-            self._vote_epoch(cfg.test_smooth)
-            new_min = float(np.min(ds.min_possibility))
-            log.info("vote epoch %d, min possibility %.2f", epoch, new_min)
-            if last_min + 1 < new_min:
-                last_min += 1
-                # sub-cloud confusion
-                from sklearn.metrics import confusion_matrix
-
-                confs = []
-                for i in range(len(ds.input_labels)):
-                    preds = label_values[
-                        np.argmax(self.test_probs[i], axis=1)
-                    ].astype(np.int32)
-                    confs.append(
-                        confusion_matrix(
-                            ds.input_labels[i], preds, labels=label_values
-                        )
-                    )
-                C = np.sum(np.stack(confs), axis=0).astype(np.float32)
-                C *= np.expand_dims(
-                    class_proportions / (np.sum(C, axis=1) + 1e-6), 1
-                )
-                sub_iou = iou_from_confusions(C)
-                results["sub_mIoU"] = float(np.mean(sub_iou))
-
-                # full-cloud confusion via re-projection
-                confs = []
-                for i in range(len(ds.input_labels)):
-                    proj_probs = self.test_probs[i][ds.val_proj[i]]
-                    preds = label_values[
-                        np.argmax(proj_probs, axis=1)
-                    ].astype(np.int32)
-                    confs.append(
-                        confusion_matrix(
-                            ds.val_labels[i], preds, labels=label_values
-                        )
-                    )
-                C = np.sum(np.stack(confs), axis=0)
-                full_iou = iou_from_confusions(C)
-                results["full_mIoU"] = float(np.mean(full_iou))
-                results["full_IoUs"] = full_iou.tolist()
-                scores, _ = scores_from_confusion(C)
-                results.update(scores)
-                log.info(
-                    "vote result: sub mIoU %.2f%%, full mIoU %.2f%%",
-                    results["sub_mIoU"] * 100, results["full_mIoU"] * 100,
-                )
-                return results
-            epoch += 1
-        return results
 
     def eval_partseg(self) -> dict:
         """ShapeNet part-segmentation eval: per-instance part IoU averaged
