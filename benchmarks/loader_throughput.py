@@ -92,26 +92,32 @@ def measure(batch_size: int, n_pts: int, steps: int = 30):
             donate_argnums=(0,),
         )
 
+        # NOTE: block_until_ready is unreliable on tunneled runtimes
+        # (docs/STATUS.md r2: async-dispatch fiction); a float() value
+        # readback of the chain's final loss cannot lie — the 30-step
+        # makespan is bounded below by real sequential execution because
+        # each step consumes the donated previous state.
+
         # device-bound rate: one resident batch, chained steps
         resident = example
         for i in range(3):   # warmup / compile
             state, m = step(state, resident, jax.random.PRNGKey(i))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         t0 = time.perf_counter()
         for i in range(steps):
             state, m = step(state, resident, jax.random.PRNGKey(i))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         dev_dt = (time.perf_counter() - t0) / steps
 
         # loader-fed rate: fresh batch per step through prefetch
         it = iter(loader)
         for i in range(3):
             state, m = step(state, next(it), jax.random.PRNGKey(i))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         t0 = time.perf_counter()
         for i in range(steps):
             state, m = step(state, next(it), jax.random.PRNGKey(i))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         load_dt = (time.perf_counter() - t0) / steps
 
         pts = batch_size * n_pts

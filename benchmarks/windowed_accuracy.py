@@ -1,22 +1,31 @@
-"""Windowed-vs-exact accuracy study (VERDICT r1 weak #2).
+"""Windowed-vs-exact accuracy study, decision grade (VERDICT r2 #3).
 
 The windowed regime's neighbor graph is an approximation (83-96% edge
 recall vs exact kNN).  This study measures what that costs on a LEARNED
-metric: train the flagship model to convergence on a learnable synthetic
-segmentation task under both regimes with identical seeds and compare
-val mIoU.
+metric: train the flagship model to a convergence plateau (early stop on
+val) under each regime/geometry with identical seeds and compare best
+val mIoU, over 5 seeds, on TWO tasks:
 
-Task: a fixed "world" labeling — 13-class Voronoi partition of the unit
-cube from fixed anchors — sampled into random clouds.  Features are a
-noisy linear embedding of the point's true class (40% label-flip noise
-before embedding) plus xyz, so pointwise features alone are weak and the
-model must aggregate spatial neighborhoods to denoise: exactly the
-mechanism the approximate neighbor graph could hurt.
+  * voronoi — 13-class Voronoi partition of the unit cube (labels are
+    blobby and mostly Morton-local);
+  * slabs   — thin slanted slabs: class = quantized position along an
+    oblique axis with a short period, so label structure cuts ACROSS
+    Morton tiles (the adversarial case for a window that only sees a
+    contiguous span of the sorted order).
 
-Shapes mirror bench.py (B=8, N=8192, C=6, 13 classes) so compiled
-programs come from the persistent cache.
+Features are a noisy linear embedding of the true class (40% label-flip
+noise before embedding) plus xyz, so pointwise features alone are weak
+and the model must aggregate spatial neighborhoods to denoise — exactly
+the mechanism an approximate neighbor graph could hurt.
+
+Arms: exact; windowed PAD ∈ {64, 128, 192} at tile 64 (the edge-recall →
+mIoU sensitivity curve); and the packed-key kNN selection
+(knn_exact=False) at the default t64-p128 geometry (the candidate
+production default).  Per-geometry edge recall vs exact kNN is also
+reported.
 
 Run: JAX_PLATFORMS=axon python benchmarks/windowed_accuracy.py
+(background job; ~1-2 h with cold compiles, minutes cached)
 """
 
 from __future__ import annotations
@@ -34,24 +43,43 @@ sys.path.insert(
 
 B, N, C_IN, N_CLASSES = 8, 8192, 6, 13
 TRAIN_BATCHES = 16
-EPOCHS = 4
+MAX_EPOCHS = 24
+PATIENCE = 4
 VAL_BATCHES = 4
-SEEDS = (0, 1, 2)
+SEEDS = (0, 1, 2, 3, 4)
 FLIP = 0.4
 
 
-def make_world(rng):
-    anchors = rng.random((N_CLASSES, 3)).astype("float32")
+def make_world(rng, task):
+    if task == "voronoi":
+        anchors = rng.random((N_CLASSES, 3)).astype("float32")
+    else:  # slabs: oblique axis + short period
+        axis = rng.standard_normal(3).astype("float32")
+        axis /= (axis**2).sum() ** 0.5
+        anchors = axis  # reused slot
     emb = rng.standard_normal((N_CLASSES, 3)).astype("float32")
     return anchors, emb
 
 
-def sample_cloud(rng, anchors, emb, batch):
+def labels_for(pos, anchors, task):
+    import numpy as np
+
+    if task == "voronoi":
+        d = ((pos[:, :, None, :] - anchors[None, None]) ** 2).sum(-1)
+        return np.argmin(d, axis=-1)
+    # slabs: class = floor(projection / thickness) mod C — thin slanted
+    # structures of ~0.08 thickness spanning every Morton tile
+    proj = pos @ anchors
+    return (np.floor(proj / 0.08).astype(np.int64) % N_CLASSES).astype(
+        np.int64
+    )
+
+
+def sample_cloud(rng, anchors, emb, task, batch):
     import numpy as np
 
     pos = rng.random((batch, N, 3), dtype=np.float32)
-    d = ((pos[:, :, None, :] - anchors[None, None]) ** 2).sum(-1)
-    y = np.argmin(d, axis=-1)
+    y = labels_for(pos, anchors, task)
     noisy = np.where(
         rng.random((batch, N)) < FLIP,
         rng.integers(0, N_CLASSES, (batch, N)),
@@ -64,7 +92,29 @@ def sample_cloud(rng, anchors, emb, batch):
     return pos, x, y.astype(np.int32)
 
 
-def run(mode: str, seed: int, tile: int = 128, pad: int = 192):
+def edge_recall(tile, pad, seed=0):
+    """Fraction of exact kNN(16) edges the window search recovers."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    from crfconv_tpu.ops.morton import morton_order_np
+    from crfconv_tpu.ops.windowed import window_knn
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    p = rng.random((N, 3)).astype(np.float32)
+    p = p[morton_order_np(p)]
+    idx = np.asarray(
+        window_knn(jnp.asarray(p[None]), 16, tile=tile, pad=pad)
+    )[0]
+    _, exact = cKDTree(p).query(p, k=16)
+    rec = np.mean([
+        len(set(idx[i]) & set(exact[i])) / 16.0 for i in range(0, N, 7)
+    ])
+    return float(rec)
+
+
+def run(mode, task, seed, tile=64, pad=128, knn_exact=True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -83,7 +133,7 @@ def run(mode: str, seed: int, tile: int = 128, pad: int = 192):
     )
 
     rng = np.random.default_rng(1000 + seed)
-    anchors, emb = make_world(rng)
+    anchors, emb = make_world(rng, task)
     windowed = mode == "windowed"
 
     def to_batch(pos, x, y):
@@ -98,15 +148,15 @@ def run(mode: str, seed: int, tile: int = 128, pad: int = 192):
         )
 
     train_batches = [
-        to_batch(*sample_cloud(rng, anchors, emb, B))
+        to_batch(*sample_cloud(rng, anchors, emb, task, B))
         for _ in range(TRAIN_BATCHES)
     ]
     val_batches = [
-        to_batch(*sample_cloud(rng, anchors, emb, B))
+        to_batch(*sample_cloud(rng, anchors, emb, task, B))
         for _ in range(VAL_BATCHES)
     ]
 
-    with neighbor_mode(mode, tile=tile, pad=pad):
+    with neighbor_mode(mode, tile=tile, pad=pad, knn_exact=knn_exact):
         model = PointConvResNet(n_classes=N_CLASSES, use_crf=True, steps=1)
         tx = make_optimizer(lr=0.01)
         example = train_batches[0]
@@ -118,50 +168,80 @@ def run(mode: str, seed: int, tile: int = 128, pad: int = 192):
         )
         estep = jax.jit(make_eval_step(model, windowed=windowed))
 
+        def val_miou(state):
+            confusion = None
+            for batch in val_batches:
+                out = estep(state, batch)
+                confusion = (
+                    out["confusion"] if confusion is None
+                    else confusion + out["confusion"]
+                )
+            scores, _ = scores_from_confusion(np.asarray(confusion))
+            return float(scores["Mean IoU"])
+
         key = jax.random.PRNGKey(seed)
-        for epoch in range(EPOCHS):
+        best, best_epoch = 0.0, -1
+        for epoch in range(MAX_EPOCHS):
             for batch in train_batches:
                 key, sub = jax.random.split(key)
                 state, m = tstep(state, batch, sub)
-        confusion = None
-        for batch in val_batches:
-            out = estep(state, batch)
-            confusion = (
-                out["confusion"] if confusion is None
-                else confusion + out["confusion"]
-            )
-        scores, _ = scores_from_confusion(np.asarray(confusion))
-    return scores["Mean IoU"], scores["Overall Acc"]
+            miou = val_miou(state)
+            if miou > best:
+                best, best_epoch = miou, epoch
+            if epoch - best_epoch >= PATIENCE:
+                break  # converged: no val improvement for PATIENCE epochs
+    return best, best_epoch + 1
 
 
-CONFIGS = [
-    ("exact", 128, 192),
-    ("windowed", 128, 192),     # current default geometry
-    ("windowed", 64, 128),      # 1.8-2.4x faster geometry (tune_windowed)
+ARMS = [
+    # (key, mode, tile, pad, knn_exact)
+    ("exact", "exact", 64, 128, True),
+    ("win-t64-p64", "windowed", 64, 64, True),
+    ("win-t64-p128", "windowed", 64, 128, True),
+    ("win-t64-p192", "windowed", 64, 192, True),
+    ("win-t64-p128-packed", "windowed", 64, 128, False),
 ]
 
 
 def main():
-    results = {}
-    for seed in SEEDS:
-        for mode, tile, pad in CONFIGS:
-            key = mode if mode == "exact" else f"{mode}-t{tile}-p{pad}"
-            miou, oa = run(mode, seed, tile, pad)
-            results.setdefault(key, []).append(round(float(miou), 4))
-            print(f"# seed {seed} {key}: mIoU {miou:.4f} OA {oa:.4f}",
-                  file=sys.stderr, flush=True)
     import numpy as np
 
-    out = {
-        "metric": "windowed vs exact val mIoU "
-        "(synthetic Voronoi denoising task, 3 seeds)",
-        **results,
+    recalls = {
+        f"t64-p{pad}": round(edge_recall(64, pad), 4)
+        for pad in (64, 128, 192)
     }
-    for key in results:
-        if key != "exact":
-            out[f"delta_{key}"] = round(
-                float(np.mean(results[key]) - np.mean(results["exact"])), 4
-            )
+    print(f"# edge recall: {recalls}", file=sys.stderr, flush=True)
+
+    results = {}
+    for task in ("voronoi", "slabs"):
+        for seed in SEEDS:
+            for key, mode, tile, pad, kx in ARMS:
+                miou, epochs = run(mode, task, seed, tile, pad, kx)
+                results.setdefault(task, {}).setdefault(key, []).append(
+                    round(miou, 4)
+                )
+                print(
+                    f"# {task} seed {seed} {key}: best mIoU {miou:.4f} "
+                    f"(stopped after {epochs} epochs)",
+                    file=sys.stderr, flush=True,
+                )
+
+    out = {
+        "metric": "windowed vs exact BEST val mIoU (early-stopped, "
+        f"{len(SEEDS)} seeds, tasks: Morton-local voronoi + "
+        "cross-tile slanted slabs)",
+        "edge_recall": recalls,
+        "results": results,
+    }
+    for task, arms in results.items():
+        ex = np.mean(arms["exact"])
+        for key, vals in arms.items():
+            if key == "exact":
+                continue
+            d = np.array(vals) - np.array(arms["exact"])
+            ci = 1.96 * d.std(ddof=1) / np.sqrt(len(d))
+            out[f"{task}:{key}:delta"] = round(float(d.mean()), 4)
+            out[f"{task}:{key}:ci95"] = round(float(ci), 4)
     print(json.dumps(out))
 
 

@@ -13,7 +13,10 @@ from crfconv_tpu.models.point_conv_big import (  # noqa: F401
     Upsampling,
     PointConvResNet,
 )
-from crfconv_tpu.models.crf_conv import ContinuousCRFConv  # noqa: F401
+from crfconv_tpu.models.crf_conv import (  # noqa: F401
+    ContinuousCRFConv,
+    EdgeListContinuousCRFConv,
+)
 from crfconv_tpu.models.discrete_crf import DiscreteCRFConv  # noqa: F401
 from crfconv_tpu.models.segnets import (  # noqa: F401
     BaselineSegNet,

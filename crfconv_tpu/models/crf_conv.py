@@ -141,3 +141,95 @@ class GuideCRFConv(nn.Module):
             xh, s, nidx, c, steps=self.steps, allow_fused=True
         )
         return leaky_relu001(out)
+
+
+def edges_to_padded(edge_index, num_nodes: int, max_degree: int):
+    """Edge list [2, E] (rows: destination i, source j) → padded dense
+    neighbor lists [num_nodes, max_degree] int32 + validity mask.
+
+    Neighbors beyond ``max_degree`` per destination are dropped (matching
+    torch's arbitrary-order truncation semantics for over-full
+    neighborhoods, SURVEY.md §7 hard part #4); slots keep edge order.
+    """
+    i, j = edge_index[0], edge_index[1]
+    order = jnp.argsort(i, stable=True)
+    i_s = i[order].astype(jnp.int32)
+    j_s = j[order].astype(jnp.int32)
+    starts = jnp.searchsorted(i_s, jnp.arange(num_nodes, dtype=i_s.dtype))
+    rank = jnp.arange(i_s.shape[0], dtype=jnp.int32) - starts[i_s]
+    keep = rank < max_degree
+    slot = jnp.where(
+        keep, i_s * max_degree + rank, num_nodes * max_degree
+    )
+    nbr = (
+        jnp.zeros((num_nodes * max_degree + 1,), jnp.int32)
+        .at[slot].set(j_s, mode="drop")[:-1]
+        .reshape(num_nodes, max_degree)
+    )
+    mask = (
+        jnp.zeros((num_nodes * max_degree + 1,), bool)
+        .at[slot].set(keep, mode="drop")[:-1]
+        .reshape(num_nodes, max_degree)
+    )
+    return nbr, mask
+
+
+class EdgeListContinuousCRFConv(nn.Module):
+    """Literal API twin of the reference's edge-list
+    ``ContinuousGaussianCRFConv`` (models/continuous_crf_conv.py:72-133 —
+    defined but unused by any reference model; provided for 100%
+    component-inventory parity).  A thin adapter: the edge list is
+    padded to dense [N, K] neighbor lists and the math runs through the
+    same masked dense ops as the flagship (gaussian_similarity +
+    crf_mean_field), which reproduce the reference's per-destination
+    edge softmax and scatter_add mean-field exactly.
+
+    ``__call__(x, y, pos, edge_index)`` mirrors the reference forward:
+    x [N, C_u] unary input, y [N, C_p] pairwise/guide input, pos [N, 3]
+    (used only for N), edge_index [2, E] with rows (dst i, src j).
+    """
+
+    unary_channels: int          # kept for ctor parity (shape-checked)
+    pairwise_channels: int
+    hidden_channels: Optional[int] = None
+    out_channels: Optional[int] = None
+    steps: int = 1
+    max_degree: int = 32
+
+    @nn.compact
+    def __call__(self, x, y, pos, edge_index, train: bool = True):
+        out_c = (
+            self.out_channels
+            if self.out_channels is not None
+            else self.pairwise_channels
+        )
+        hidden = (
+            self.hidden_channels
+            if self.hidden_channels is not None
+            else out_c // 4
+        )
+        assert x.shape[-1] == self.unary_channels
+        assert y.shape[-1] == self.pairwise_channels
+        n = pos.shape[0]
+        nbr, mask = edges_to_padded(edge_index, n, self.max_degree)
+
+        xu = MLP(hidden, activation=None, name="unary_net")(x, train=train)
+        s_feat = MLP(hidden, activation=None, name="pairwise_net")(
+            y, train=train
+        )
+        # batch-of-one dense layout for the shared ops
+        xu_b = xu[None]
+        s_b = s_feat[None]
+        nbr_b = nbr[None]
+        mask_b = mask[None]
+        s = gaussian_similarity(s_b, nbr_b, mask=mask_b)
+        c = self.param("c", eye_init, (hidden, hidden))
+        out = crf_mean_field(xu_b, s, nbr_b, c, steps=self.steps)[0]
+
+        out = MLP(out_c, activation=leaky_relu001, name="mlp")(
+            out, train=train
+        )
+        out = jnp.concatenate([out, y], axis=-1)
+        return MLP(out_c, activation=leaky_relu001, name="fusion_net")(
+            out, train=train
+        )

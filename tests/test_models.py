@@ -131,3 +131,80 @@ class TestRegistry:
     def test_unknown_raises(self):
         with pytest.raises(KeyError):
             get_model("NoSuchModel")
+
+
+class TestEdgeListCRFTwin:
+    """The literal edge-list-API twin (reference
+    continuous_crf_conv.py:72-133, dead code there) — golden parity vs a
+    numpy re-execution of the reference math on the same edge list."""
+
+    def test_matches_reference_math(self):
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+
+        from crfconv_tpu.models import EdgeListContinuousCRFConv
+
+        rng = np.random.default_rng(0)
+        n, e, cu, cp, steps = 64, 400, 8, 16, 3
+        x = rng.standard_normal((n, cu)).astype(np.float32)
+        y = rng.standard_normal((n, cp)).astype(np.float32)
+        pos = rng.random((n, 3)).astype(np.float32)
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        edge_index = np.stack([dst, src]).astype(np.int32)
+
+        model = EdgeListContinuousCRFConv(
+            unary_channels=cu, pairwise_channels=cp, steps=steps,
+            max_degree=32,
+        )
+        vars_ = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(pos),
+            jnp.asarray(edge_index), train=True,
+        )
+        out, _ = model.apply(
+            vars_, jnp.asarray(x), jnp.asarray(y), jnp.asarray(pos),
+            jnp.asarray(edge_index), train=True,
+            mutable=["batch_stats"],
+        )
+        out = np.asarray(out)
+
+        # ---- numpy re-execution of the reference forward ----
+        p = vars_["params"]
+
+        def lin_bn(v, a):
+            h = a @ np.asarray(v["Dense_0"]["kernel"])
+            mean = h.mean(0)
+            var = h.var(0)
+            return (h - mean) / np.sqrt(var + 1e-5)
+
+        def lin_bn_act(v, a):
+            h = lin_bn(v, a)
+            return np.where(h >= 0, h, 0.01 * h)
+
+        xu = lin_bn(p["unary_net"], x)
+        s_f = lin_bn(p["pairwise_net"], y)
+        i, j = edge_index
+        d = ((s_f[i] - s_f[j]) ** 2).sum(-1)
+        # per-destination softmax over incoming edges
+        s_edge = np.zeros(e)
+        for node in range(n):
+            m = i == node
+            if m.any():
+                z = -d[m]
+                z = np.exp(z - z.max())
+                s_edge[m] = z / z.sum()
+        C = np.asarray(p["c"]).T @ np.asarray(p["c"])
+        inv = np.linalg.inv(np.eye(C.shape[0]) + C)
+        z = xu.copy()
+        h = xu.copy()
+        for _ in range(steps):
+            msg = np.zeros_like(h)
+            np.add.at(msg, i, s_edge[:, None] * h[j])
+            h = (z + msg @ C) @ inv
+        ref = lin_bn_act(p["mlp"], h)
+        ref = lin_bn_act(
+            p["fusion_net"], np.concatenate([ref, y], axis=-1)
+        )
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
