@@ -71,10 +71,13 @@ def _crf_scan(
     c: jnp.ndarray,
     steps: int,
     neighbors0: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """XLA lax.scan implementation of the mean-field loop (reference
     math, one gather per step).  Differentiable; also serves as the
-    backward path of the fused kernel."""
+    backward path of the fused kernel.  ``x0`` restarts the recurrence
+    from a prior state (chunked halo exchange, parallel/spatial.py);
+    the per-step unary stays z."""
     h = z.shape[-1]
     C = jnp.dot(c.T, c, precision=jax.lax.Precision.HIGHEST)
     inv = _spd_inverse(jnp.eye(h, dtype=C.dtype) + C)
@@ -94,10 +97,10 @@ def _crf_scan(
     def body(x, _):
         return update(x, gather_neighbors(x, neighbor_idx)), None
 
-    x = z
+    x = z if x0 is None else x0
     remaining = steps
     if neighbors0 is not None and steps > 0:
-        x = update(z, neighbors0)
+        x = update(x, neighbors0)
         remaining = steps - 1
     x, _ = jax.lax.scan(body, x, None, length=remaining)
     return x
@@ -112,7 +115,7 @@ def _crf_scan(
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("steps", "tile", "pad"))
-def _crf_fused(z, s, neighbor_idx, c, steps, tile, pad):
+def _crf_fused(z, s, neighbor_idx, c, steps, tile, pad, x0=None):
     from crfconv_tpu.ops.crf_pallas import _compat_products, crf_core
 
     h = z.shape[-1]
@@ -121,7 +124,10 @@ def _crf_fused(z, s, neighbor_idx, c, steps, tile, pad):
     zp = jnp.einsum(
         "bnh,hk->bnk", zf, inv, precision=jax.lax.Precision.HIGHEST
     )
-    out = crf_core(zf, zp, s, neighbor_idx, M, steps, tile, pad, False)
+    # crf_core's first operand is the INITIAL state (x_0), zp the
+    # loop-invariant unary term — restartable by construction
+    start = zf if x0 is None else x0.astype(jnp.float32)
+    out = crf_core(start, zp, s, neighbor_idx, M, steps, tile, pad, False)
     return out.astype(z.dtype)
 
 
@@ -175,6 +181,7 @@ def crf_mean_field(
     steps: int = 1,
     neighbors0: Optional[jnp.ndarray] = None,
     allow_fused: bool = False,
+    x0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run ``steps`` mean-field iterations of the continuous Gaussian CRF.
 
@@ -210,9 +217,9 @@ def crf_mean_field(
     mode = get_neighbor_mode()
     if allow_fused and _fused_ok(z.shape[1], z.shape[2], steps, mode):
         return _crf_fused(
-            z, s, neighbor_idx, c, steps, mode["tile"], mode["pad"]
+            z, s, neighbor_idx, c, steps, mode["tile"], mode["pad"], x0
         )
-    return _crf_scan_jit(z, s, neighbor_idx, c, steps, neighbors0)
+    return _crf_scan_jit(z, s, neighbor_idx, c, steps, neighbors0, x0)
 
 
 def discrete_crf_update(

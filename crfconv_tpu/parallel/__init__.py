@@ -6,3 +6,6 @@ from crfconv_tpu.parallel.sharding import (  # noqa: F401
     replicate,
     make_parallel_train_step,
 )
+from crfconv_tpu.parallel.spatial import (  # noqa: F401
+    crf_mean_field_spatial,
+)
