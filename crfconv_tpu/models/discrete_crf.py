@@ -73,7 +73,9 @@ class DiscreteCRFConv(nn.Module):
             )[..., 0].astype(bool)
             nmask = nmask & valid_n & mask[:, :, None]
 
+        # fused in BOTH train and eval: discrete_crf_core's VJP is the
+        # native fused reverse recurrence (crf_pallas._bwd_discrete_kernel)
         return discrete_crf_update(
             p, u, w, nidx, compat, steps=self.steps, mask=nmask,
-            allow_fused=not train,
+            allow_fused=True,
         )

@@ -258,8 +258,9 @@ def discrete_crf_update(
     mode = get_neighbor_mode()
     if allow_fused and _fused_ok(p.shape[1], p.shape[2], steps, mode):
         # edge weights are loop-invariant, so the same banded-A fusion as
-        # the continuous kernel applies (eval path only: models pass
-        # allow_fused=not train, the scan handles training gradients)
+        # the continuous kernel applies; differentiable (native fused
+        # reverse recurrence with the per-step softmax VJP — see
+        # crf_pallas.discrete_crf_core), so training runs fused too
         from crfconv_tpu.ops.crf_pallas import discrete_crf_windowed_fused
 
         return discrete_crf_windowed_fused(

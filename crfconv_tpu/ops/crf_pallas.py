@@ -576,6 +576,184 @@ def _iterate_discrete_kernel(
     done.wait()
 
 
+def _iterate_discrete_stack_kernel(
+    pT_ref, uT_ref, ahi_ref, alo_ref, ct_ref,
+    out_ref, qstack_ref, msgstack_ref,
+    qbuf, ubuf, abuf, sem_init, sem_a, sem_out, msgbuf,
+    *, steps, nt, tile, w, front, lp, npad,
+):
+    """_iterate_discrete_kernel that additionally stores the post-step
+    states q_{t+1} and the pre-compatibility messages msg_t = S̃ q_t to
+    HBM (t = 0..steps-1) — the residuals the softmax VJP needs.  Stack
+    copies are synchronous per step (~0.5 MB each, negligible next to
+    the tile loop)."""
+    b = pl.program_id(0)
+    cp_p = pltpu.make_async_copy(pT_ref.at[b], qbuf.at[0], sem_init.at[0])
+    cp_u = pltpu.make_async_copy(uT_ref.at[b], ubuf, sem_init.at[1])
+    cp_p.start()
+    cp_u.start()
+
+    def a_copies(g, slot):
+        j = jax.lax.rem(g, nt)
+        return (
+            pltpu.make_async_copy(
+                ahi_ref.at[b, j], abuf.at[slot, 0], sem_a.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                alo_ref.at[b, j], abuf.at[slot, 1], sem_a.at[slot, 1]
+            ),
+        )
+
+    h0, l0 = a_copies(0, 0)
+    h0.start()
+    l0.start()
+    cp_p.wait()
+    cp_u.wait()
+    qbuf[1] = jnp.zeros((lp, npad), jnp.float32)   # finite halo (NaN·0 guard)
+    msgbuf[:] = jnp.zeros((lp, npad), jnp.float32)
+    ct = ct_ref[:]                                 # [lp, lp] f32 = Cᵀ padded
+
+    total = steps * nt
+    for t in range(steps):
+        src, dst = t % 2, (t + 1) % 2
+
+        def tile_body(i, carry, t=t, src=src, dst=dst):
+            g = t * nt + i
+            slot = jax.lax.rem(g, 2)
+
+            @pl.when(g + 1 < total)
+            def _():
+                nh, nl = a_copies(g + 1, jax.lax.rem(g + 1, 2))
+                nh.start()
+                nl.start()
+
+            ch, cl = a_copies(g, slot)
+            ch.wait()
+            cl.wait()
+
+            r0 = pl.multiple_of(i * tile, 128)
+            win = qbuf[src, :, pl.ds(r0, w)]        # [lp, w] f32
+            whi = win.astype(jnp.bfloat16)
+            wlo = (win - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ahi = abuf[slot, 0]
+            alo = abuf[slot, 1]
+            msg = (
+                jnp.dot(whi, ahi, preferred_element_type=jnp.float32)
+                + jnp.dot(wlo, ahi, preferred_element_type=jnp.float32)
+                + jnp.dot(whi, alo, preferred_element_type=jnp.float32)
+            )                                       # [lp, tile] msgᵀ
+            o0 = pl.multiple_of(front + i * tile, 128)
+            msgbuf[:, pl.ds(o0, tile)] = msg
+            z = -ubuf[:, pl.ds(o0, tile)] - jnp.dot(
+                ct, msg, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                       # padded rows → −1e30
+            m = jnp.max(z, axis=0, keepdims=True)
+            e = jnp.exp(z - m)
+            qbuf[dst, :, pl.ds(o0, tile)] = e / jnp.sum(
+                e, axis=0, keepdims=True
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nt, tile_body, 0)
+
+        # q_{t+1} and msg_t are stable now (next step writes only the
+        # other ping-pong slot / rewrites msgbuf after these complete)
+        cp_q = pltpu.make_async_copy(
+            qbuf.at[dst], qstack_ref.at[b, t], sem_out
+        )
+        cp_q.start()
+        cp_q.wait()
+        cp_m = pltpu.make_async_copy(msgbuf, msgstack_ref.at[b, t], sem_out)
+        cp_m.start()
+        cp_m.wait()
+
+    done = pltpu.make_async_copy(qbuf.at[steps % 2], out_ref.at[b], sem_out)
+    done.start()
+    done.wait()
+
+
+def _to_t_fill(a, front, npad, lp, fill):
+    """[B, N, L] → transposed plane [B, lp, npad] padded with ``fill``.
+
+    Rows outside [front, front+N) are never read through A; class rows
+    beyond L must carry the fill so softmax zeroes them (fill=1e30 for
+    the unary, 0 for probability planes)."""
+    B, N, L = a.shape
+    buf = jnp.full((B, npad, lp), fill, jnp.float32)
+    buf = buf.at[:, front : front + N, :L].set(a.astype(jnp.float32))
+    return jnp.swapaxes(buf, 1, 2)
+
+
+def _run_discrete_core(p, unary, wgt, idx, compat, steps, tile, pad,
+                       interpret, save_stack):
+    """Dispatch the fused discrete iterate kernel (optionally saving the
+    per-step q/message planes the softmax VJP needs)."""
+    B, N, L = p.shape
+    a_hi, a_lo, tf, nt, front, w, npad = _banded_setup(
+        wgt, idx, N, tile, pad, interpret
+    )
+    lp = max(_round_up(L, 8), 16)
+    ct = jnp.zeros((lp, lp), jnp.float32).at[:L, :L].set(
+        compat.astype(jnp.float32).T
+    )
+    pT = _to_t_fill(p, front, npad, lp, 0.0)
+    uT = _to_t_fill(unary, front, npad, lp, 1e30)
+
+    kw = dict(steps=steps, nt=nt, tile=tf, w=w, front=front, lp=lp,
+              npad=npad)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),           # pT (init q)
+        pl.BlockSpec(memory_space=pl.ANY),           # uT
+        pl.BlockSpec(memory_space=pl.ANY),           # A_hi
+        pl.BlockSpec(memory_space=pl.ANY),           # A_lo
+        pl.BlockSpec(
+            (lp, lp), lambda b: (0, 0), memory_space=pltpu.VMEM
+        ),                                           # Cᵀ
+    ]
+    scratch = [
+        pltpu.VMEM((2, lp, npad), jnp.float32),      # q ping-pong
+        pltpu.VMEM((lp, npad), jnp.float32),         # u resident
+        pltpu.VMEM((2, 2, w, tf), jnp.bfloat16),     # A double buffer
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if save_stack:
+        out, qstackT, msgstackT = pl.pallas_call(
+            functools.partial(_iterate_discrete_stack_kernel, **kw),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, lp, npad), jnp.float32),
+                jax.ShapeDtypeStruct((B, steps, lp, npad), jnp.float32),
+                jax.ShapeDtypeStruct((B, steps, lp, npad), jnp.float32),
+            ],
+            scratch_shapes=scratch
+            + [pltpu.VMEM((lp, npad), jnp.float32)],  # msg plane
+            interpret=interpret,
+        )(pT, uT, a_hi, a_lo, ct)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_iterate_discrete_kernel, **kw),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((B, lp, npad), jnp.float32),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(pT, uT, a_hi, a_lo, ct)
+        qstackT = msgstackT = None
+
+    res = jnp.swapaxes(out, 1, 2)[:, front : front + N, :L]
+    return res.astype(p.dtype), qstackT, msgstackT
+
+
 @functools.partial(
     jax.jit, static_argnames=("steps", "tile", "pad", "interpret")
 )
@@ -593,56 +771,14 @@ def discrete_crf_windowed_fused(
     """Fused windowed discrete CRF; same contract as discrete_crf_update
     with a pre-masked w.  The edge weights are loop-invariant, so the
     same banded-A machinery as the continuous kernel applies; only the
-    per-step apply differs (softmax instead of the linear update)."""
-    B, N, L = p.shape
+    per-step apply differs (softmax instead of the linear update).
+    Differentiable in p, unary, wgt, compat (idx gets no cotangent);
+    the VJP is the native fused reverse recurrence when it fits VMEM."""
     if steps == 0:
         return p
-    a_hi, a_lo, tf, nt, front, w, npad = _banded_setup(
-        wgt, idx, N, tile, pad, interpret
+    return discrete_crf_core(
+        p, unary, wgt, idx, compat, steps, tile, pad, interpret
     )
-    lp = max(_round_up(L, 8), 16)
-    ct = jnp.zeros((lp, lp), jnp.float32).at[:L, :L].set(
-        compat.astype(jnp.float32).T
-    )
-
-    def to_t(a, fill):
-        buf = jnp.full((B, npad, lp), fill, jnp.float32)
-        buf = buf.at[:, front : front + N, :L].set(a.astype(jnp.float32))
-        # rows outside [front, front+N) are never read through A; class
-        # rows beyond L must carry the fill so softmax zeroes them
-        return jnp.swapaxes(buf, 1, 2)                   # [B, lp, npad]
-
-    out = pl.pallas_call(
-        functools.partial(
-            _iterate_discrete_kernel,
-            steps=steps, nt=nt, tile=tf, w=w, front=front, lp=lp,
-            npad=npad,
-        ),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),           # pT (init q)
-            pl.BlockSpec(memory_space=pl.ANY),           # uT
-            pl.BlockSpec(memory_space=pl.ANY),           # A_hi
-            pl.BlockSpec(memory_space=pl.ANY),           # A_lo
-            pl.BlockSpec(
-                (lp, lp), lambda b: (0, 0), memory_space=pltpu.VMEM
-            ),                                           # Cᵀ
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, lp, npad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, lp, npad), jnp.float32),      # q ping-pong
-            pltpu.VMEM((lp, npad), jnp.float32),         # u resident
-            pltpu.VMEM((2, 2, w, tf), jnp.bfloat16),     # A double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(to_t(p, 0.0), to_t(unary, 1e30), a_hi, a_lo, ct)
-
-    res = jnp.swapaxes(out, 1, 2)[:, front : front + N, :L]
-    return res.astype(p.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -1048,3 +1184,291 @@ def banded_neighbor_dot(
         ],
         interpret=interpret,
     )(a_nd, b_td, rel)
+
+
+# ---------------------------------------------------------------------------
+# discrete CRF: native fused backward
+#
+# Per forward step: msg_t = S̃ q_t,  z_t = −u − msg_t C,  q_{t+1} = softmax(z_t).
+# Reverse-mode with λ_t = ∂L/∂q_t (λ_S = g):
+#     dz_t   = q_{t+1} ⊙ (λ_{t+1} − Σ_l λ_{t+1} q_{t+1})    (softmax VJP)
+#     du    −= dz_t
+#     dC    −= msg_tᵀ dz_t
+#     dmsg_t = −dz_t Cᵀ
+#     λ_t    = S̃ᵀ dmsg_t                                     (banded, like
+#                                                             the continuous λ)
+#     dw[m,k] = Σ_t ⟨dmsg_t[m], q_t[idx[m,k]]⟩               (banded nbr-dot)
+#     dp     = λ_0
+# The forward saves the q_{t+1}/msg_t planes; everything else is the same
+# VMEM-resident machinery as the continuous backward (λ ping-pong, row-
+# layout Aᵀ streaming, one neighbor-dot for dw).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_discrete_kernel(
+    gT_ref, qstackT_ref, msgstackT_ref, athi_ref, atlo_ref, c_ref,
+    dmsgstackT_ref, dpT_ref, duT_ref, dc_ref,
+    lbuf, dubuf, dmsgbuf, qnbuf, msgbuf, atbuf, sem_init, sem_a, sem_io,
+    *, steps, nt, w, front, lp, npad,
+):
+    """Reverse discrete recurrence with λ resident in VMEM.
+
+    Per reverse step: pass A (elementwise per tile) computes the softmax
+    VJP dz, accumulates du and dC, and forms dmsg = −C dzT; pass B
+    overlap-adds λ_t = S̃ᵀ dmsg via the row-layout band blocks."""
+    tf = 128
+    b = pl.program_id(0)
+    cp_g = pltpu.make_async_copy(gT_ref.at[b], lbuf.at[0], sem_init.at[0])
+    cp_g.start()
+
+    def at_copies(g, slot):
+        j = jax.lax.rem(g, nt)
+        return (
+            pltpu.make_async_copy(
+                athi_ref.at[b, j], atbuf.at[slot, 0], sem_a.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                atlo_ref.at[b, j], atbuf.at[slot, 1], sem_a.at[slot, 1]
+            ),
+        )
+
+    h0, l0 = at_copies(0, 0)
+    h0.start()
+    l0.start()
+    # q_steps / msg_{steps-1} for the first (t = steps-1) reverse step
+    cp_q = pltpu.make_async_copy(
+        qstackT_ref.at[b, steps - 1], qnbuf, sem_init.at[1]
+    )
+    cp_q.start()
+    cp_m = pltpu.make_async_copy(
+        msgstackT_ref.at[b, steps - 1], msgbuf, sem_io
+    )
+    cp_m.start()
+    dubuf[:] = jnp.zeros((lp, npad), jnp.float32)
+    dmsgbuf[:] = jnp.zeros((lp, npad), jnp.float32)  # finite halo for stack
+    dc_ref[0] = jnp.zeros((lp, lp), jnp.float32)
+    c = c_ref[:]                                     # [lp, lp] f32 = C padded
+    cp_g.wait()
+    cp_q.wait()
+    cp_m.wait()
+
+    total = steps * nt
+    for ti, t in enumerate(range(steps - 1, -1, -1)):
+        src, dst = ti % 2, (ti + 1) % 2
+
+        def tile_a(i, carry, src=src):
+            o0 = pl.multiple_of(front + i * tf, 128)
+            lam = lbuf[src, :, pl.ds(o0, tf)]        # [lp, tf] λ_{t+1}
+            qn = qnbuf[:, pl.ds(o0, tf)]             # [lp, tf] q_{t+1}
+            col = jnp.sum(lam * qn, axis=0, keepdims=True)
+            dz = qn * (lam - col)                    # softmax VJP
+            dubuf[:, pl.ds(o0, tf)] = dubuf[:, pl.ds(o0, tf)] + dz
+            dmsgbuf[:, pl.ds(o0, tf)] = -jnp.dot(
+                c, dz, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            # dC accumulator (sign applied by the host): Σ_n msg[n,i]dz[n,j]
+            dc_ref[0] = dc_ref[0] + jax.lax.dot_general(
+                msgbuf[:, pl.ds(o0, tf)], dz, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return carry
+
+        jax.lax.fori_loop(0, nt, tile_a, 0)
+
+        # dmsg_t plane to HBM for the dw neighbor-dot (sync: the buffer
+        # is rewritten only in the next step's pass A, after this)
+        cp_dm = pltpu.make_async_copy(
+            dmsgbuf, dmsgstackT_ref.at[b, t], sem_io
+        )
+        cp_dm.start()
+        cp_dm.wait()
+
+        # prefetch q_t / msg_{t-1} for the next reverse step (pass B does
+        # not read qnbuf/msgbuf; sync like the continuous stack loads)
+        @pl.when(t >= 1)
+        def _():
+            cp_qn = pltpu.make_async_copy(
+                qstackT_ref.at[b, t - 1], qnbuf, sem_init.at[1]
+            )
+            cp_qn.start()
+            cp_qn.wait()
+            cp_mn = pltpu.make_async_copy(
+                msgstackT_ref.at[b, t - 1], msgbuf, sem_io
+            )
+            cp_mn.start()
+            cp_mn.wait()
+
+        lbuf[dst] = jnp.zeros((lp, npad), jnp.float32)
+
+        def tile_b(i, carry, ti=ti, dst=dst):
+            g = ti * nt + i
+            slot = jax.lax.rem(g, 2)
+
+            @pl.when(g + 1 < total)
+            def _():
+                nh, nl = at_copies(g + 1, jax.lax.rem(g + 1, 2))
+                nh.start()
+                nl.start()
+
+            ch, cl = at_copies(g, slot)
+            ch.wait()
+            cl.wait()
+
+            o0 = pl.multiple_of(front + i * tf, 128)
+            dm_t = dmsgbuf[:, pl.ds(o0, tf)]         # [lp, tf]
+            dhi = dm_t.astype(jnp.bfloat16)
+            dlo = (dm_t - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            at_hi = atbuf[slot, 0]                   # [tf, w] bf16
+            at_lo = atbuf[slot, 1]
+            contrib = (
+                jnp.dot(dhi, at_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(dlo, at_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(dhi, at_lo, preferred_element_type=jnp.float32)
+            )                                        # [lp, w]
+            r0 = pl.multiple_of(i * tf, 128)
+            lbuf[dst, :, pl.ds(r0, w)] = lbuf[dst, :, pl.ds(r0, w)] + contrib
+            return carry
+
+        jax.lax.fori_loop(0, nt, tile_b, 0)
+
+    final = steps % 2
+    cp_dp = pltpu.make_async_copy(lbuf.at[final], dpT_ref.at[b], sem_io)
+    cp_dp.start()
+    cp_dp.wait()
+    cp_du = pltpu.make_async_copy(dubuf, duT_ref.at[b], sem_io)
+    cp_du.start()
+    cp_du.wait()
+
+
+def discrete_bwd_vmem_bytes(N, L, tile, pad):
+    """VMEM upper bound for the discrete backward kernel: 6 resident
+    planes (λ ping-pong, du, dmsg, q_{t+1}, msg_t) + the Aᵀ double
+    buffer.  The stack-saving forward needs one plane fewer."""
+    tf, nt, front, w, npad, _ = _banded_geometry(N, L, tile, pad)
+    lp = max(_round_up(L, 8), 16)
+    return 6 * lp * npad * 4 + 4 * tf * w * 2 + 2 * lp * lp * 4
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def discrete_crf_core(p, unary, wgt, idx, compat, steps, tile=64,
+                      pad=128, interpret=False):
+    """steps of q ← softmax(−u − (S̃ q) C), fully fused on-chip.
+    Differentiable in p, unary, wgt, compat (idx gets no cotangent);
+    the VJP is the native fused reverse recurrence when it fits VMEM,
+    else the scan VJP."""
+    out, _, _ = _run_discrete_core(
+        p, unary, wgt, idx, compat, steps, tile, pad, interpret,
+        save_stack=False,
+    )
+    return out
+
+
+def _discrete_core_fwd(p, unary, wgt, idx, compat, steps, tile, pad,
+                       interpret):
+    save = (
+        discrete_bwd_vmem_bytes(p.shape[1], p.shape[2], tile, pad)
+        <= 12 * 1024 * 1024
+    )
+    out, qstackT, msgstackT = _run_discrete_core(
+        p, unary, wgt, idx, compat, steps, tile, pad, interpret,
+        save_stack=save,
+    )
+    return out, (p, unary, wgt, idx, compat, qstackT, msgstackT)
+
+
+def _discrete_core_bwd(steps, tile, pad, interpret, res, g):
+    p, unary, wgt, idx, compat, qstackT, msgstackT = res
+    B, N, L = p.shape
+    K = idx.shape[-1]
+    if qstackT is None:
+        # VMEM-bound fallback: differentiate the scan re-execution
+        from crfconv_tpu.ops.crf import _discrete_scan
+
+        _, vjp = jax.vjp(
+            lambda p_, u_, w_, c_: _discrete_scan(
+                p_, u_, w_, idx, c_, steps
+            ),
+            p, unary, wgt, compat,
+        )
+        dp, du, dw, dc = vjp(g)
+        return dp, du, dw, None, dc
+
+    at_hi, at_lo, tf, nt, front, w, npad = _banded_setup_rows(
+        wgt, idx, N, tile, pad, interpret
+    )
+    lp = max(_round_up(L, 8), 16)
+    c_pad = jnp.zeros((lp, lp), jnp.float32).at[:L, :L].set(
+        compat.astype(jnp.float32)
+    )
+    gT = _to_t_fill(g, front, npad, lp, 0.0)
+
+    dmsgstackT, dpT, duT, dc = pl.pallas_call(
+        functools.partial(
+            _bwd_discrete_kernel,
+            steps=steps, nt=nt, w=w, front=front, lp=lp, npad=npad,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),    # gT
+            pl.BlockSpec(memory_space=pl.ANY),    # q stack
+            pl.BlockSpec(memory_space=pl.ANY),    # msg stack
+            pl.BlockSpec(memory_space=pl.ANY),    # AT_hi
+            pl.BlockSpec(memory_space=pl.ANY),    # AT_lo
+            pl.BlockSpec(
+                (lp, lp), lambda b: (0, 0), memory_space=pltpu.VMEM
+            ),                                    # C
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),    # dmsg stack
+            pl.BlockSpec(memory_space=pl.ANY),    # dpT
+            pl.BlockSpec(memory_space=pl.ANY),    # duT
+            pl.BlockSpec(
+                (1, lp, lp), lambda b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                    # dC per batch
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, steps, lp, npad), jnp.float32),
+            jax.ShapeDtypeStruct((B, lp, npad), jnp.float32),
+            jax.ShapeDtypeStruct((B, lp, npad), jnp.float32),
+            jax.ShapeDtypeStruct((B, lp, lp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, lp, npad), jnp.float32),    # λ ping-pong
+            pltpu.VMEM((lp, npad), jnp.float32),       # du accumulator
+            pltpu.VMEM((lp, npad), jnp.float32),       # dmsg plane
+            pltpu.VMEM((lp, npad), jnp.float32),       # q_{t+1}
+            pltpu.VMEM((lp, npad), jnp.float32),       # msg_t
+            pltpu.VMEM((2, 2, tf, w), jnp.bfloat16),   # Aᵀ double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(gT, qstackT, msgstackT, at_hi, at_lo, c_pad)
+
+    # dw: one banded neighbor-dot over the stacked (dmsg_t, q_t) planes,
+    # q_t = (p, q_1..q_{steps-1})
+    pT = _to_t_fill(p, front, npad, lp, 0.0)
+    qprevT = jnp.concatenate(
+        [pT[:, None], qstackT[:, : steps - 1]], axis=1
+    )                                              # [B, steps, lp, npad]
+    dmsg_nd = jnp.transpose(dmsgstackT, (0, 3, 1, 2)).reshape(
+        B, npad, steps * lp
+    )
+    rel, *_ = _rel_row_blocks(idx, N, tile, pad)
+    dwb = banded_neighbor_dot(
+        dmsg_nd, qprevT.reshape(B, steps * lp, npad), rel,
+        front=front, w=w, interpret=interpret,
+    )
+    dw = dwb.reshape(B, nt * tf, K)[:, :N].astype(wgt.dtype)
+
+    dp = _from_t(dpT, front, N, L).astype(p.dtype)
+    du = -_from_t(duT, front, N, L).astype(unary.dtype)
+    dc = -jnp.sum(dc, axis=0)[:L, :L].astype(compat.dtype)
+    return dp, du, dw, None, dc
+
+
+discrete_crf_core.defvjp(_discrete_core_fwd, _discrete_core_bwd)

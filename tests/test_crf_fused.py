@@ -307,3 +307,97 @@ class TestCrfCoreNativeBwd:
         b = np.asarray(jax.grad(loss_core)(z))
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
         assert rel < 2e-5, rel
+
+
+class TestDiscreteNativeBwd:
+    """The native fused discrete backward (r3): discrete_crf_core's
+    custom VJP — reverse recurrence with the per-step softmax VJP —
+    vs autodiff through the scan."""
+
+    def _inputs(self, b=2, n=512, l=13, k=9, seed=11):
+        rng = np.random.default_rng(seed)
+        logits = rng.standard_normal((b, n, l)).astype(np.float32)
+        p = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        u = -np.log(np.maximum(p, 1e-12)).astype(np.float32)
+        w = (rng.random((b, n, k)) * 0.5).astype(np.float32)
+        idx = _window_consistent_idx(b, n, k)
+        compat = np.eye(l, dtype=np.float32) + 0.05 * rng.standard_normal(
+            (l, l)
+        ).astype(np.float32)
+        gw = rng.standard_normal((b, n, l)).astype(np.float32)
+        return tuple(
+            jnp.asarray(a) for a in (p, u, w, idx, compat, gw)
+        )
+
+    @pytest.mark.parametrize("steps", [1, 5])
+    def test_grad_matches_scan(self, steps):
+        from crfconv_tpu.ops.crf_pallas import discrete_crf_core
+
+        p, u, w, idx, compat, gw = self._inputs()
+
+        def loss_ref(p_, u_, w_, c_):
+            return jnp.sum(_discrete_scan(p_, u_, w_, idx, c_, steps) * gw)
+
+        def loss_core(p_, u_, w_, c_):
+            return jnp.sum(
+                discrete_crf_core(p_, u_, w_, idx, c_, steps, 64, 128, True)
+                * gw
+            )
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(p, u, w, compat)
+        g_core = jax.grad(loss_core, argnums=(0, 1, 2, 3))(p, u, w, compat)
+        for name, a, b in zip(("dp", "du", "dw", "dcompat"), g_ref, g_core):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+            assert rel < 2e-4, (name, rel)
+
+    def test_grad_with_duplicates_and_masked(self):
+        """Duplicate neighbor slots and zero-weight (masked) slots must
+        backprop exactly like the scan's independent per-k paths."""
+        from crfconv_tpu.ops.crf_pallas import discrete_crf_core
+
+        p, u, w, idx, compat, gw = self._inputs(seed=13)
+        idx = idx.at[:, :, 1].set(idx[:, :, 0])    # duplicates
+        w = w.at[:, :, 3].set(0.0)                 # masked-out slot
+        steps = 3
+
+        def loss_ref(w_):
+            return jnp.sum(_discrete_scan(p, u, w_, idx, compat, steps) * gw)
+
+        def loss_core(w_):
+            return jnp.sum(
+                discrete_crf_core(p, u, w_, idx, compat, steps, 64, 128, True)
+                * gw
+            )
+
+        a = np.asarray(jax.grad(loss_ref)(w))
+        b = np.asarray(jax.grad(loss_core)(w))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 2e-4, rel
+
+    def test_vmem_fallback_grad(self, monkeypatch):
+        """When the backward kernel exceeds VMEM the VJP must fall back
+        to the scan re-execution and still be correct."""
+        from crfconv_tpu.ops import crf_pallas
+
+        monkeypatch.setattr(
+            crf_pallas, "discrete_bwd_vmem_bytes", lambda *a: 10**12
+        )
+        from crfconv_tpu.ops.crf_pallas import discrete_crf_core
+
+        p, u, w, idx, compat, gw = self._inputs(n=256, k=5, seed=17)
+        steps = 2
+
+        def loss_ref(p_):
+            return jnp.sum(_discrete_scan(p_, u, w, idx, compat, steps) * gw)
+
+        def loss_core(p_):
+            return jnp.sum(
+                discrete_crf_core(p_, u, w, idx, compat, steps, 64, 128, True)
+                * gw
+            )
+
+        a = np.asarray(jax.grad(loss_ref)(p))
+        b = np.asarray(jax.grad(loss_core)(p))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 2e-5, rel
