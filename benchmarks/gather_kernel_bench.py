@@ -49,19 +49,25 @@ def main():
             ).astype(np.int32)
         )
 
-        def step(carry, x=x, idx=idx):
-            out = windowed_gather_pallas(carry, idx)
-            # fold the gather back so iterations depend on each other
-            return carry + 1e-9 * out[:, :, 0, :]
+        results[label] = {}
+        for body in ("v1", "v2"):
 
-        t = device_time(step, x, iters=10)
-        gbps = B * N * K * F * 4 / t / 1e9
-        results[label] = {
-            "ms": round(t * 1e3, 3),
-            "gathered_GBps": round(gbps, 1),
-        }
-        print(f"# {label}: {t * 1e3:.3f} ms  ({gbps:.0f} GB/s gathered)",
-              file=sys.stderr, flush=True)
+            def step(carry, x=x, idx=idx, body=body):
+                out = windowed_gather_pallas(carry, idx, large_body=body)
+                # fold the gather back so iterations depend on each other
+                return carry + 1e-9 * out[:, :, 0, :]
+
+            t = device_time(step, x, iters=10)
+            gbps = B * N * K * F * 4 / t / 1e9
+            results[label][body] = {
+                "ms": round(t * 1e3, 3),
+                "gathered_GBps": round(gbps, 1),
+            }
+            print(
+                f"# {label} [{body}]: {t * 1e3:.3f} ms "
+                f"({gbps:.0f} GB/s gathered)",
+                file=sys.stderr, flush=True,
+            )
     print(json.dumps({"metric": "windowed_gather_pallas kernel", **results}))
 
 

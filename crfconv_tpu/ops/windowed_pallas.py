@@ -91,6 +91,74 @@ def _kernel_large(
             ].astype(out_ref.dtype)
 
 
+def _kernel_large2(
+    starts_ref, rel_ref, xp_ref, out_ref, win_ref, sem,
+    *, width2, tile, k_cols, feat, f_pad, nt, nb, p, npairs,
+):
+    """r3 large body: transposed one-hot + lhs-T matmul.
+
+    The v1 body's dominant hidden cost was the rel operand: [K, tile, 1]
+    lane-pads the trailing singleton to 128, DMA-ing ~tile·K·512 B per
+    cell (3× the window itself).  Here rel rides compact as
+    [npairs, p·tile] (p = 128//tile neighbor columns pre-folded onto
+    lanes, ~4 KB/cell) and the one-hot is built TRANSPOSED
+    [width2, p·tile] — a sublane-row broadcast against a sublane iota,
+    no lane→sublane relayout — then contracted with the window via a
+    dot_general over the sublane dims of both operands (lhs-T matmul,
+    native on the MXU).  One [p·tile, width2]-row matmul per pair keeps
+    the MXU row-dim full at any tile ≤ 128.  Window DMA starts are
+    128-aligned (the shift is pre-absorbed into rel), so the slice needs
+    no sublane-offset proof."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    g = b * nt + t
+    total = nb * nt
+
+    def win_dma(cell, slot):
+        bb = cell // nt
+        tt = jax.lax.rem(cell, nt)
+        s = pl.multiple_of(starts_ref[tt], 128)
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(s, width2), :], win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        win_dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+    win_dma(g, slot).wait()
+    win = win_ref[slot]                          # [width2, f_pad] f32
+    hi = win.astype(jnp.bfloat16)
+    lo = (win - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    lanes = p * tile
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (width2, lanes), 0)
+    rel = rel_ref[0, 0]                          # [npairs, lanes] int32
+    for j in range(npairs):
+        ohT = (rel[j : j + 1] == iota_sub).astype(jnp.bfloat16)
+        res = jax.lax.dot_general(
+            ohT, hi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        res = res + jax.lax.dot_general(
+            ohT, lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                        # [lanes, f_pad]
+        for q in range(p):
+            k = j * p + q
+            if k < k_cols:
+                out_ref[0, :, k * feat : (k + 1) * feat] = res[
+                    q * tile : (q + 1) * tile, :feat
+                ].astype(out_ref.dtype)
+
+
 def _kernel_small(
     starts_ref, rel_ref, xp_ref, out_ref, win_ref, sem,
     *, width, tile, k_cols, feat, f_pad,
@@ -302,17 +370,30 @@ def windowed_gather_bwd_pallas(
     return dx_p[:, front : front + n_src]
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "pad", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "pad", "interpret", "large_body")
+)
 def windowed_gather_pallas(
     x: jnp.ndarray,
     idx: jnp.ndarray,
     tile: int = 64,
     pad: int = 128,
     interpret: bool = False,
+    large_body: str = "v1",
 ) -> jnp.ndarray:
     """Window-consistent neighbor gather → [B, M, K, F].
 
     Same contract as ops.windowed.windowed_gather (XLA fallback).
+    ``large_body`` selects the large-gather kernel body.  "v2"
+    (transposed one-hot + lhs-T matmul, compact rel layout) is a
+    documented NEGATIVE result: despite cutting the rel operand DMA
+    ~128x, it measures equal-or-slower than v1 at every model shape
+    (B8xN8192-65536, K15/16, F8-32: e.g. 1.73 vs 2.31 ms at K15 F16;
+    17.0 vs 20.1 ms at sem3d scale-0 — benchmarks/gather_kernel_bench.py),
+    because the kernel is MXU-compute-bound on the one-hot matmuls
+    (~65% of bf16 peak), not DMA-bound, and v2's per-pair [lanes,width2]
+    matmuls have a worse MXU aspect than v1's [tile,width]xK batch.
+    Kept for the A/B harness; default stays "v1".
     """
     from crfconv_tpu.ops.windowed import _pad_src, window_starts
 
@@ -325,41 +406,74 @@ def windowed_gather_pallas(
     # the HBM->VMEM window DMA requires a 128-aligned minor dimension
     f_pad = -(-F // 128) * 128
     xw = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, f_pad - F)))
-    xp = _pad_src(xw, front, width, starts)                     # [B, NP, Fp]
     idx_p = jnp.pad(idx, ((0, 0), (0, m_pad), (0, 0)))
-    starts_j = jnp.asarray(starts, jnp.int32)
-    rel = (
-        idx_p.reshape(B, nt, tile, K)
-        + front
-        - starts_j[None, :, None, None]
-    ).astype(jnp.int32)
-    rel = jnp.clip(rel, 0, width - 1)
 
     large = M >= LARGE_M
-    if large:
-        # [B, nt, K, tile, 1]: each k-slice is a ready-made sublane column
-        rel = jnp.swapaxes(rel, 2, 3)[..., None]
+    if large and large_body == "v2":
+        # 128-align the window starts so the DMA slice needs no offset
+        # proof; the per-tile shift moves into rel (and into width2)
+        s_al = (starts // 128) * 128
+        shift = starts - s_al
+        width2 = -(-(width + int(shift.max())) // 128) * 128
+        xp = _pad_src(xw, front, width2, s_al)
+        starts_j = jnp.asarray(s_al, jnp.int32)
+        rel = (
+            idx_p.reshape(B, nt, tile, K)
+            + front
+            - jnp.asarray(s_al, jnp.int32)[None, :, None, None]
+        ).astype(jnp.int32)
+        rel = jnp.clip(rel, 0, width2 - 1)
+        # fold p = 128//tile neighbor columns onto lanes: rel_pairs
+        # [B, nt, npairs, p·tile], pair j lane q·tile+m ↦ (m, k=j·p+q)
+        p = max(128 // tile, 1)
+        npairs = -(-K // p)
+        relk = jnp.swapaxes(rel, 2, 3)               # [B, nt, K, tile]
+        relk = jnp.pad(relk, ((0, 0), (0, 0), (0, npairs * p - K), (0, 0)))
+        rel = relk.reshape(B, nt, npairs, p * tile)
         kernel = functools.partial(
-            _kernel_large, width=width, tile=tile, k_cols=K, feat=F,
-            f_pad=f_pad, nt=nt, nb=B,
+            _kernel_large2, width2=width2, tile=tile, k_cols=K, feat=F,
+            f_pad=f_pad, nt=nt, nb=B, p=p, npairs=npairs,
         )
         rel_spec = pl.BlockSpec(
-            (1, 1, K, tile, 1), lambda b, t: (b, t, 0, 0, 0),
+            (1, 1, npairs, p * tile), lambda b, t: (b, t, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        win_scratch = pltpu.VMEM((2, width, f_pad), jnp.float32)
+        win_scratch = pltpu.VMEM((2, width2, f_pad), jnp.float32)
         sem_scratch = pltpu.SemaphoreType.DMA((2,))
     else:
-        kernel = functools.partial(
-            _kernel_small, width=width, tile=tile, k_cols=K, feat=F,
-            f_pad=f_pad,
-        )
-        rel_spec = pl.BlockSpec(
-            (1, 1, tile, K), lambda b, t: (b, t, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        win_scratch = pltpu.VMEM((width, f_pad), jnp.float32)
-        sem_scratch = pltpu.SemaphoreType.DMA
+        xp = _pad_src(xw, front, width, starts)                 # [B, NP, Fp]
+        starts_j = jnp.asarray(starts, jnp.int32)
+        rel = (
+            idx_p.reshape(B, nt, tile, K)
+            + front
+            - starts_j[None, :, None, None]
+        ).astype(jnp.int32)
+        rel = jnp.clip(rel, 0, width - 1)
+        if large:
+            # [B, nt, K, tile, 1]: each k-slice is a ready-made sublane
+            # column
+            rel = jnp.swapaxes(rel, 2, 3)[..., None]
+            kernel = functools.partial(
+                _kernel_large, width=width, tile=tile, k_cols=K, feat=F,
+                f_pad=f_pad, nt=nt, nb=B,
+            )
+            rel_spec = pl.BlockSpec(
+                (1, 1, K, tile, 1), lambda b, t: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            win_scratch = pltpu.VMEM((2, width, f_pad), jnp.float32)
+            sem_scratch = pltpu.SemaphoreType.DMA((2,))
+        else:
+            kernel = functools.partial(
+                _kernel_small, width=width, tile=tile, k_cols=K, feat=F,
+                f_pad=f_pad,
+            )
+            rel_spec = pl.BlockSpec(
+                (1, 1, tile, K), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            win_scratch = pltpu.VMEM((width, f_pad), jnp.float32)
+            sem_scratch = pltpu.SemaphoreType.DMA
 
     out = pl.pallas_call(
         kernel,

@@ -193,6 +193,33 @@ class TestWindowedGather:
         ref = x[0][idx[0]][None]
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.parametrize("body", ["v1", "v2"])
+    @pytest.mark.parametrize("k,strided", [(8, False), (5, False), (7, True)])
+    def test_pallas_large_bodies_match(self, body, k, strided, monkeypatch):
+        """Both large-gather kernel generations (v1 column-layout, v2
+        transposed one-hot) against the exact gather, incl. odd K (v2
+        pads the last pair) and a strided case whose window starts are
+        only 8-aligned (v2 re-aligns them to 128 and shifts rel)."""
+        from crfconv_tpu.ops import windowed_pallas
+
+        monkeypatch.setattr(windowed_pallas, "LARGE_M", 128)
+        m = 384
+        n = 3 * m if strided else m
+        idx = np.clip(
+            (np.arange(m) * (n / m)).astype(np.int64)[None, :, None]
+            + RNG.integers(-40, 40, (1, m, k)),
+            0, n - 1,
+        ).astype(np.int32)
+        x = RNG.random((1, n, 11)).astype(np.float32)
+        out = np.asarray(
+            windowed_pallas.windowed_gather_pallas(
+                jnp.asarray(x), jnp.asarray(idx), interpret=True,
+                large_body=body,
+            )
+        )
+        ref = x[0][idx[0]][None]
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
 
 class TestWindowedPyramid:
     def test_build_and_consistency(self):
