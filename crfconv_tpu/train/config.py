@@ -77,8 +77,18 @@ class Config:
     dilations: Optional[Tuple[int, ...]] = None
     sample_method: str = "random"
     # neighbor-gather regime: 'exact' (default) or 'windowed'
-    # (Morton-sorted MXU fast path; see ops/windowed.py)
+    # (Morton-sorted MXU fast path; see ops/windowed.py).
+    # Decision (r3 accuracy study v2, benchmarks/windowed_accuracy.py,
+    # 5 seeds to 24-epoch plateaus): 'exact' stays the parity/training
+    # default — windowed costs −0.8±0.2pp mIoU on cross-tile label
+    # structure (−0.0 on Morton-local) at t64-p128.  'windowed' is the
+    # serving/throughput regime (7.4× inference).  PAD=192 recovers
+    # ~+0.1pp if accuracy-sensitive.
     neighbor_regime: str = "exact"
+    # window-kNN selection inside the windowed regime: packed-key
+    # (False, default) measured accuracy-indistinguishable from exact
+    # selection (Δ −0.79 vs −0.76pp, CI ±0.25) and 1.25× faster pyramid
+    windowed_knn_exact: bool = False
     # compute dtype for model matmuls: 'float32' (parity) or 'bfloat16'
     compute_dtype: str = "float32"
     # eval-time microbatching: split each eval batch into chunks of this

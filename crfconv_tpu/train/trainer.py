@@ -212,7 +212,9 @@ class Trainer:
             # read at trace time by every gather in the model
             from crfconv_tpu.ops.neighbors import set_neighbor_mode
 
-            set_neighbor_mode("windowed")
+            set_neighbor_mode(
+                "windowed", knn_exact=cfg.windowed_knn_exact
+            )
         if cfg.compute_dtype != "float32":
             from crfconv_tpu.models.common import set_compute_dtype
 
