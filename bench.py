@@ -68,7 +68,9 @@ def measure_jax(mode: str = "windowed") -> float:
     )
     model = PointConvResNet(n_classes=N_CLASSES, use_crf=True, steps=1)
 
-    with neighbor_mode(mode if mode == "windowed" else "exact"):
+    # windowed serving default: packed-key kNN selection (accuracy-
+    # indistinguishable from exact selection, benchmarks r3 study)
+    with neighbor_mode(mode, knn_exact=mode != "windowed"):
         # init once on a prebuilt batch
         if mode == "windowed":
             order, scales = build_pyramid_windowed(
@@ -139,7 +141,7 @@ def measure_train(mode: str = "windowed") -> float:
     )
     model = PointConvResNet(n_classes=N_CLASSES, use_crf=True, steps=1)
     windowed = mode == "windowed"
-    with neighbor_mode("windowed" if windowed else "exact"):
+    with neighbor_mode(mode, knn_exact=not windowed):
         if windowed:
             raw = RawBatch(pos=pos, x=feats, y=labels)
             example = build_windowed_batch(raw, jax.random.PRNGKey(0))
