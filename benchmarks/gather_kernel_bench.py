@@ -50,7 +50,7 @@ def main():
         )
 
         results[label] = {}
-        for body in ("v1", "v2"):
+        for body in ("v1", "v2", "v3"):
 
             def step(carry, x=x, idx=idx, body=body):
                 out = windowed_gather_pallas(carry, idx, large_body=body)

@@ -36,6 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LARGE_M = 4096   # output-row threshold between the two kernel bodies
+V3_MAX_F = 0     # widest F routed to the v3 lane-gather body ("auto";
+                 # armed by TPU measurement in gather_kernel_bench.py)
 
 
 def _kernel_large(
@@ -155,6 +157,70 @@ def _kernel_large2(
             k = j * p + q
             if k < k_cols:
                 out_ref[0, :, k * feat : (k + 1) * feat] = res[
+                    q * tile : (q + 1) * tile, :feat
+                ].astype(out_ref.dtype)
+
+
+def _kernel_large3(
+    starts_ref, rel_ref, xpT_ref, out_ref, win_ref, sem,
+    *, width2, tile, k_cols, feat, f8, nt, nb, p, nchunk,
+):
+    """r3 large body: transposed window + VPU lane dynamic-gather.
+
+    The one-hot bodies are MXU-flop-bound ~ width x 128 output lanes per
+    128 gathered rows, regardless of how few of those lanes carry real
+    features — at scale-0 widths (F=8-16, f_pad=128) ~90% of the MXU
+    work selects padding.  Here the window rides TRANSPOSED [f8, width2]
+    (f8 = F sublane-padded, so the DMA also shrinks ~128/f8x) and each
+    128-point row-block is gathered with per-128-lane-chunk
+    ``take_along_axis`` on the lane dim + in-range select — VPU work
+    ~ f8 x width2 per block instead of MXU work ~ 128 x width2.  Gathers
+    are bit-exact f32 (no hi/lo split).  Wide-F shapes stay on v1: the
+    VPU work scales with f8 while the one-hot matmul does not, and the
+    [f8, 128] -> [128, f8] output relayout grows with f8 too.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    g = b * nt + t
+    total = nb * nt
+
+    def win_dma(cell, slot):
+        bb = cell // nt
+        tt = jax.lax.rem(cell, nt)
+        s = pl.multiple_of(starts_ref[tt], 128)
+        return pltpu.make_async_copy(
+            xpT_ref.at[bb, :, pl.ds(s, width2)], win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        win_dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+    win_dma(g, slot).wait()
+    win = win_ref[slot]                              # [f8, width2] f32
+    nwc = width2 // 128
+    rel = rel_ref[0, 0]                              # [nchunk, p*tile] int32
+    for j in range(nchunk):
+        idxb = jnp.broadcast_to(rel[j : j + 1], (f8, p * tile))
+        acc = jnp.zeros((f8, p * tile), jnp.float32)
+        for c in range(nwc):
+            src = win[:, c * 128 : (c + 1) * 128]
+            loc = jnp.clip(idxb - c * 128, 0, 127)
+            gth = jnp.take_along_axis(src, loc, axis=1)
+            m = (idxb >= c * 128) & (idxb < (c + 1) * 128)
+            acc = jnp.where(m, gth, acc)
+        accT = acc.T                                 # [p*tile, f8]
+        for q in range(p):
+            k = j * p + q
+            if k < k_cols:
+                out_ref[0, :, k * feat : (k + 1) * feat] = accT[
                     q * tile : (q + 1) * tile, :feat
                 ].astype(out_ref.dtype)
 
@@ -379,7 +445,7 @@ def windowed_gather_pallas(
     tile: int = 64,
     pad: int = 128,
     interpret: bool = False,
-    large_body: str = "v1",
+    large_body: str = "auto",
 ) -> jnp.ndarray:
     """Window-consistent neighbor gather → [B, M, K, F].
 
@@ -409,7 +475,41 @@ def windowed_gather_pallas(
     idx_p = jnp.pad(idx, ((0, 0), (0, m_pad), (0, 0)))
 
     large = M >= LARGE_M
-    if large and large_body == "v2":
+    if large_body == "auto":
+        large_body = "v3" if F <= V3_MAX_F else "v1"
+    if large and large_body == "v3":
+        # transposed-window lane-gather body (see _kernel_large3): the
+        # source rides [B, f8, NP] so the window DMA is [f8, width2]
+        s_al = (starts // 128) * 128
+        shift = starts - s_al
+        width2 = -(-(width + int(shift.max())) // 128) * 128
+        f8 = -(-F // 8) * 8
+        xw3 = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, f8 - F)))
+        xp = jnp.swapaxes(_pad_src(xw3, front, width2, s_al), 1, 2)
+        starts_j = jnp.asarray(s_al, jnp.int32)
+        rel = (
+            idx_p.reshape(B, nt, tile, K)
+            + front
+            - jnp.asarray(s_al, jnp.int32)[None, :, None, None]
+        ).astype(jnp.int32)
+        rel = jnp.clip(rel, 0, width2 - 1)
+        # fold p = 128//tile neighbor columns onto lanes (as in v2)
+        p = max(128 // tile, 1)
+        nchunk = -(-K // p)
+        relk = jnp.swapaxes(rel, 2, 3)               # [B, nt, K, tile]
+        relk = jnp.pad(relk, ((0, 0), (0, 0), (0, nchunk * p - K), (0, 0)))
+        rel = relk.reshape(B, nt, nchunk, p * tile)
+        kernel = functools.partial(
+            _kernel_large3, width2=width2, tile=tile, k_cols=K, feat=F,
+            f8=f8, nt=nt, nb=B, p=p, nchunk=nchunk,
+        )
+        rel_spec = pl.BlockSpec(
+            (1, 1, nchunk, p * tile), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        win_scratch = pltpu.VMEM((2, f8, width2), jnp.float32)
+        sem_scratch = pltpu.SemaphoreType.DMA((2,))
+    elif large and large_body == "v2":
         # 128-align the window starts so the DMA slice needs no offset
         # proof; the per-tile shift moves into rel (and into width2)
         s_al = (starts // 128) * 128

@@ -193,7 +193,7 @@ class TestWindowedGather:
         ref = x[0][idx[0]][None]
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
 
-    @pytest.mark.parametrize("body", ["v1", "v2"])
+    @pytest.mark.parametrize("body", ["v1", "v2", "v3"])
     @pytest.mark.parametrize("k,strided", [(8, False), (5, False), (7, True)])
     def test_pallas_large_bodies_match(self, body, k, strided, monkeypatch):
         """Both large-gather kernel generations (v1 column-layout, v2
