@@ -41,24 +41,55 @@ class PointConv(nn.Module):
         extra: Optional[jnp.ndarray] = None,    # [B, N, E] rider tensor
         train: bool = True,
     ):
+        d = x.shape[-1]
+        mlp0 = MLP(self.d_model, activation=leaky_relu01, name="weight_nn_0")
+        mlp1 = MLP(self.d_model, activation=None, name="weight_nn_1")
+
+        from crfconv_tpu.ops import conv_pallas
+        from crfconv_tpu.ops.neighbors import get_neighbor_mode
+
+        mode = get_neighbor_mode()
+        if conv_pallas.fused_eligible(
+            train, sub_pos, extra, self.d_model, x.shape[1],
+            neighbor_idx.shape[-1], mode,
+        ):
+            # eval-mode fused kernel: gather + rel + weight MLP (BN folded
+            # to affine) + K-reduction in one Pallas pass — nothing
+            # [B,N,K,*]-shaped touches HBM.  Declare the SAME submodules
+            # on a dummy so the param tree (and checkpoints) are identical
+            # to the unfused path, then read their folded values.
+            dummy = jnp.zeros((1, 1, 1, 3), x.dtype)
+            _ = mlp1(mlp0(dummy, train=False), train=False)
+            v0p, v0s = mlp0.variables["params"], mlp0.variables["batch_stats"]
+            v1p, v1s = mlp1.variables["params"], mlp1.variables["batch_stats"]
+
+            def fold(vp, vs):
+                bn = vp["MaskedBatchNorm_0"]
+                st = vs["MaskedBatchNorm_0"]
+                a = bn["scale"] / jnp.sqrt(st["var"] + 1e-5)
+                return vp["Dense_0"]["kernel"], a, bn["bias"] - st["mean"] * a
+
+            w0, a0, c0 = fold(v0p, v0s)
+            w1, a1, c1 = fold(v1p, v1s)
+            return conv_pallas.point_conv_fused_infer(
+                x, pos, neighbor_idx, w0, a0, c0, w1, a1, c1,
+                tile=mode["tile"], pad=mode["pad"],
+                interpret=conv_pallas.FUSED_INTERPRET,
+            )
+
         # One fused gather for [pos, x(, extra)]: TPU gather cost is bound
         # by the index count, not the row width, so widening the gathered
         # row is free and removes 1-2 extra gathers from this block.  The
         # optional ``extra`` rider returns its gathered neighbors for the
         # caller (the strided residual max-pool shares these indices).
-        d = x.shape[-1]
         parts = [pos, x] if extra is None else [pos, x, extra]
         g = gather_neighbors(jnp.concatenate(parts, axis=-1), neighbor_idx)
         neighbors = g[..., :3]
         xn = g[..., 3 : 3 + d]
         center = pos if sub_pos is None else sub_pos
         rel = center[:, :, None, :] - neighbors               # [B, M, K, 3]
-        w = MLP(self.d_model, activation=leaky_relu01, name="weight_nn_0")(
-            rel, train=train
-        )
-        w = MLP(self.d_model, activation=None, name="weight_nn_1")(
-            w, train=train
-        )                                                     # [B, M, K, d]
+        w = mlp0(rel, train=train)
+        w = mlp1(w, train=train)                              # [B, M, K, d]
         out = jnp.sum(w * xn, axis=2)                         # [B, M, d]
         if extra is None:
             return out

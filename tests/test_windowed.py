@@ -340,3 +340,41 @@ class TestWindowKnnFused:
             window_knn_pallas(coarse, 1, query_pos=pos, interpret=True)
         )
         assert (ref == out).mean() > 0.999
+
+
+class TestFusedPointConv:
+    def test_fused_matches_unfused_eval(self, monkeypatch):
+        """Eval-mode fused point-conv kernel (gather + folded-BN weight
+        MLP + K-reduce in one Pallas pass) against the unfused module
+        path, with non-trivial running BN statistics."""
+        from crfconv_tpu.models.point_conv_big import PointConv
+        from crfconv_tpu.ops import conv_pallas
+
+        n, k, h = 4096, 8, 8
+        pos = jnp.asarray(RNG.random((1, n, 3)).astype(np.float32))
+        x = jnp.asarray(RNG.standard_normal((1, n, h)).astype(np.float32))
+        idx = np.clip(
+            np.arange(n)[None, :, None] + RNG.integers(-48, 48, (1, n, k)),
+            0, n - 1,
+        ).astype(np.int32)
+        idx = jnp.asarray(idx)
+
+        model = PointConv(d_model=h)
+        with neighbor_mode("windowed"):
+            variables = model.init(
+                jax.random.PRNGKey(0), x, pos, idx, train=False
+            )
+            # non-trivial running stats so the affine fold is exercised
+            stats = jax.tree.map(
+                lambda a: a + 0.1 + 0.05 * jnp.arange(a.size, dtype=a.dtype),
+                variables["batch_stats"],
+            )
+            variables = {**variables, "batch_stats": stats}
+
+            ref = model.apply(variables, x, pos, idx, train=False)
+            monkeypatch.setattr(conv_pallas, "FUSED_MAX_H", 32)
+            monkeypatch.setattr(conv_pallas, "FUSED_INTERPRET", True)
+            got = model.apply(variables, x, pos, idx, train=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
+        )
