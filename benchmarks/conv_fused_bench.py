@@ -1,0 +1,96 @@
+"""A/B: fused windowed point-conv inference kernel vs the unfused path.
+
+Times the whole PointConv module (eval mode) at the scale-0/1 model
+shapes with FUSED_MAX_H disarmed vs armed, so the measurement includes
+everything the fusion removes (gather kernel + [B,N,K,*] HBM round
+trips) and everything it adds (in-kernel MLP matmuls).
+
+Run: JAX_PLATFORMS=axon python benchmarks/conv_fused_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/crfconv_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+# (label, B, N, K, hidden)
+SHAPES = [
+    ("s3dis-scale0", 8, 8192, 16, 8),
+    ("s3dis-scale1", 8, 2048, 16, 16),
+    ("sem3d-scale0", 8, 65536, 16, 8),
+    ("sem3d-scale1", 8, 16384, 16, 16),
+    ("sem3d-scale0-h32", 8, 65536, 16, 32),
+]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crfconv_tpu.models.point_conv_big import PointConv
+    from crfconv_tpu.ops import conv_pallas
+    from crfconv_tpu.ops.neighbors import neighbor_mode
+    from crfconv_tpu.utils import device_time
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for label, B, N, K, H in SHAPES:
+        pos = jnp.asarray(rng.random((B, N, 3), dtype=np.float32))
+        x = jnp.asarray(
+            rng.standard_normal((B, N, H)).astype(np.float32)
+        )
+        idx = jnp.asarray(
+            np.clip(
+                np.arange(N)[None, :, None]
+                + rng.integers(-96, 96, (B, N, K)),
+                0, N - 1,
+            ).astype(np.int32)
+        )
+        model = PointConv(d_model=H)
+        with neighbor_mode("windowed"):
+            variables = model.init(
+                jax.random.PRNGKey(0), x, pos, idx, train=False
+            )
+
+            results[label] = {}
+            for armed in (0, 128):
+                conv_pallas.FUSED_MAX_H = armed
+
+                def step(carry, idx=idx, variables=variables, model=model):
+                    out = model.apply(
+                        variables, carry, pos, idx, train=False
+                    )
+                    return carry + 1e-9 * out
+
+                t = device_time(step, x, iters=10)
+                key = "fused" if armed else "unfused"
+                results[label][key] = round(t * 1e3, 3)
+                print(
+                    f"# {label} [{key}]: {t * 1e3:.3f} ms",
+                    file=sys.stderr, flush=True,
+                )
+            # parity on device
+            conv_pallas.FUSED_MAX_H = 0
+            ref = model.apply(variables, x, pos, idx, train=False)
+            conv_pallas.FUSED_MAX_H = 128
+            got = model.apply(variables, x, pos, idx, train=False)
+            conv_pallas.FUSED_MAX_H = 0
+            err = float(
+                jnp.max(jnp.abs(got - ref))
+                / (jnp.max(jnp.abs(ref)) + 1e-9)
+            )
+            results[label]["rel_err"] = err
+            print(f"# {label} rel_err {err:.2e}", file=sys.stderr, flush=True)
+    print(json.dumps({"metric": "fused point-conv A/B", **results}))
+
+
+if __name__ == "__main__":
+    main()
