@@ -50,14 +50,15 @@ class PointConv(nn.Module):
 
         mode = get_neighbor_mode()
         if conv_pallas.fused_eligible(
-            train, sub_pos, extra, self.d_model, x.shape[1],
+            train, sub_pos, extra, self.d_model, neighbor_idx.shape[1],
             neighbor_idx.shape[-1], mode,
         ):
             # eval-mode fused kernel: gather + rel + weight MLP (BN folded
-            # to affine) + K-reduction in one Pallas pass — nothing
-            # [B,N,K,*]-shaped touches HBM.  Declare the SAME submodules
-            # on a dummy so the param tree (and checkpoints) are identical
-            # to the unfused path, then read their folded values.
+            # to affine) + K-reduction (and the strided residual max-pool
+            # rider) in one Pallas pass — nothing [B,N,K,*]-shaped touches
+            # HBM.  Declare the SAME submodules on a dummy so the param
+            # tree (and checkpoints) are identical to the unfused path,
+            # then read their folded values.
             dummy = jnp.zeros((1, 1, 1, 3), x.dtype)
             _ = mlp1(mlp0(dummy, train=False), train=False)
             v0p, v0s = mlp0.variables["params"], mlp0.variables["batch_stats"]
@@ -71,11 +72,19 @@ class PointConv(nn.Module):
 
             w0, a0, c0 = fold(v0p, v0s)
             w1, a1, c1 = fold(v1p, v1s)
-            return conv_pallas.point_conv_fused_infer(
-                x, pos, neighbor_idx, w0, a0, c0, w1, a1, c1,
+            if extra is None:
+                return conv_pallas.point_conv_fused_infer(
+                    x, pos, neighbor_idx, w0, a0, c0, w1, a1, c1,
+                    tile=mode["tile"], pad=mode["pad"],
+                    interpret=conv_pallas.FUSED_INTERPRET,
+                )
+            out, res_max = conv_pallas.point_conv_fused_strided(
+                x, pos, sub_pos, neighbor_idx, extra,
+                w0, a0, c0, w1, a1, c1,
                 tile=mode["tile"], pad=mode["pad"],
                 interpret=conv_pallas.FUSED_INTERPRET,
             )
+            return out, res_max
 
         # One fused gather for [pos, x(, extra)]: TPU gather cost is bound
         # by the index count, not the row width, so widening the gathered
@@ -93,7 +102,9 @@ class PointConv(nn.Module):
         out = jnp.sum(w * xn, axis=2)                         # [B, M, d]
         if extra is None:
             return out
-        return out, g[..., 3 + d :]                           # [B, M, K, E]
+        # rider contract: the POOLED max over K (so the fused-kernel path,
+        # which never materializes [B, M, K, E], has the same signature)
+        return out, jnp.max(g[..., 3 + d :], axis=2)          # [B, M, E]
 
 
 class ResNetBBlock(nn.Module):
@@ -126,11 +137,10 @@ class ResNetBBlock(nn.Module):
         h = MLP(hidden, activation=leaky_relu01, name="lin_in")(x, train=train)
         if sub_pos is not None:
             # fuse the strided residual max-pool gather into the conv gather
-            h, res_n = PointConv(hidden, name="point_conv")(
+            h, residual = PointConv(hidden, name="point_conv")(
                 h, pos, neighbor_idx, sub_pos=sub_pos, extra=residual,
                 train=train,
             )
-            residual = jnp.max(res_n, axis=2)
         else:
             h = PointConv(hidden, name="point_conv")(
                 h, pos, neighbor_idx, train=train

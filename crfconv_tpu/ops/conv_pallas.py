@@ -38,9 +38,11 @@ FUSED_INTERPRET = False
 
 
 def fused_eligible(train, sub_pos, extra, hidden, n_rows, k, mode) -> bool:
-    """Dispatch guard for models.PointConv: eval-mode, same-scale,
-    windowed regime, K divisible by the lane fold, armed width."""
-    if train or sub_pos is not None or extra is not None:
+    """Dispatch guard for models.PointConv: eval-mode, windowed regime,
+    K divisible by the lane fold, armed width.  Covers the same-scale
+    body and the strided body with the residual max-pool rider (but not
+    strided-without-rider, which no model block emits)."""
+    if train or (sub_pos is None) != (extra is None):
         return False
     if mode["mode"] != "windowed" or hidden > FUSED_MAX_H:
         return False
@@ -118,6 +120,200 @@ def _kernel_conv(
     for q in range(1, p):
         outv = outv + acc[:, q * tile : (q + 1) * tile]
     out_ref[0, 0] = outv
+
+
+def _kernel_conv_strided(
+    starts_ref, rel_ref, ctr_ref, w0_ref, w1_ref, aff_ref, xpT_ref,
+    out_ref, win_ref, sem,
+    *, width2, tile, k_cols, h8, r8, f8, nt, nb, p, nchunk, slope,
+):
+    """Strided body: adds the residual rider — gathered residual rows are
+    max-pooled over K in the same pass (reference strided residual pool,
+    models/point_conv_big.py:74-77)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    g = b * nt + t
+    total = nb * nt
+
+    def win_dma(cell, slot):
+        bb = cell // nt
+        tt = jax.lax.rem(cell, nt)
+        s = pl.multiple_of(starts_ref[tt], 128)
+        return pltpu.make_async_copy(
+            xpT_ref.at[bb, :, pl.ds(s, width2)], win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        win_dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+    win_dma(g, slot).wait()
+    win = win_ref[slot]                        # [f8, width2] f32
+    nwc = width2 // 128
+    rel = rel_ref[0, 0]
+    ctr = ctr_ref[0, 0]
+    w0 = w0_ref[:]
+    w1 = w1_ref[:]
+    aff = aff_ref[:]
+    lanes = p * tile
+
+    acc = jnp.zeros((h8, lanes), jnp.float32)
+    acc_r = jnp.full((r8, lanes), -jnp.inf, jnp.float32)
+    for j in range(nchunk):
+        idxb = jnp.broadcast_to(rel[j : j + 1], (f8, lanes))
+        gth = jnp.zeros((f8, lanes), jnp.float32)
+        for c in range(nwc):
+            src = win[:, c * 128 : (c + 1) * 128]
+            loc = jnp.clip(idxb - c * 128, 0, 127)
+            gsel = jnp.take_along_axis(src, loc, axis=1)
+            m = (idxb >= c * 128) & (idxb < (c + 1) * 128)
+            gth = jnp.where(m, gsel, gth)
+        relp = ctr - gth[:8]
+        t0 = jax.lax.dot_general(
+            w0, relp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t0 = t0 * aff[0][:, None] + aff[1][:, None]
+        t0 = jnp.where(t0 >= 0, t0, slope * t0)
+        u = jax.lax.dot_general(
+            w1, t0, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        u = u * aff[2][:, None] + aff[3][:, None]
+        acc = acc + u * gth[8 : 8 + h8]
+        acc_r = jnp.maximum(acc_r, gth[8 + h8 : 8 + h8 + r8])
+    outv = acc[:, :tile]
+    outr = acc_r[:, :tile]
+    for q in range(1, p):
+        outv = outv + acc[:, q * tile : (q + 1) * tile]
+        outr = jnp.maximum(outr, acc_r[:, q * tile : (q + 1) * tile])
+    out_ref[0, 0, :h8] = outv
+    out_ref[0, 0, h8:] = outr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "pad", "interpret", "slope")
+)
+def point_conv_fused_strided(
+    x: jnp.ndarray,          # [B, N, H] fine-scale hidden features
+    pos: jnp.ndarray,        # [B, N, 3] fine-scale positions
+    sub_pos: jnp.ndarray,    # [B, M, 3] coarse positions
+    idx: jnp.ndarray,        # [B, M, K] window-consistent indices into N
+    res: jnp.ndarray,        # [B, N, R] residual rider (max-pooled over K)
+    w0: jnp.ndarray, a0: jnp.ndarray, c0: jnp.ndarray,
+    w1: jnp.ndarray, a1: jnp.ndarray, c1: jnp.ndarray,
+    tile: int = 64,
+    pad: int = 128,
+    interpret: bool = False,
+    slope: float = 0.1,
+):
+    """Strided fused point conv: returns (out [B, M, H], res_max [B, M, R])."""
+    from crfconv_tpu.ops.windowed import _pad_src, window_starts
+
+    B, N, H = x.shape
+    M, K = idx.shape[1], idx.shape[2]
+    R = res.shape[-1]
+    starts, width, front = window_starts(M, N, tile, pad)
+    nt = starts.shape[0]
+    m_pad = nt * tile - M
+    h8 = -(-H // 8) * 8
+    r8 = -(-R // 8) * 8
+    f8 = 8 + h8 + r8
+
+    s_al = (starts // 128) * 128
+    shift = starts - s_al
+    width2 = -(-(width + int(shift.max())) // 128) * 128
+
+    src = jnp.concatenate(
+        [
+            pos.astype(jnp.float32),
+            jnp.zeros((B, N, 5), jnp.float32),
+            jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, h8 - H))),
+            jnp.pad(res.astype(jnp.float32), ((0, 0), (0, 0), (0, r8 - R))),
+        ],
+        axis=-1,
+    )
+    xpT = jnp.swapaxes(_pad_src(src, front, width2, s_al), 1, 2)
+
+    idx_p = jnp.pad(idx, ((0, 0), (0, m_pad), (0, 0)))
+    rel = (
+        idx_p.reshape(B, nt, tile, K)
+        + front
+        - jnp.asarray(s_al, jnp.int32)[None, :, None, None]
+    ).astype(jnp.int32)
+    rel = jnp.clip(rel, 0, width2 - 1)
+    p = max(128 // tile, 1)
+    nchunk = -(-K // p)
+    assert K % p == 0, "dispatcher must route K % p != 0 to the unfused path"
+    relk = jnp.swapaxes(rel, 2, 3)
+    relk = jnp.pad(relk, ((0, 0), (0, 0), (0, nchunk * p - K), (0, 0)))
+    rel_packed = relk.reshape(B, nt, nchunk, p * tile)
+
+    ctile = jnp.pad(
+        jnp.swapaxes(sub_pos.astype(jnp.float32), 1, 2),  # [B, 3, M]
+        ((0, 0), (0, 5), (0, 0)),
+    )
+    ctile = jnp.pad(ctile, ((0, 0), (0, 0), (0, m_pad)))
+    ctile = ctile.reshape(B, 8, nt, tile)
+    ctile = jnp.swapaxes(ctile, 1, 2)
+    ctr = jnp.tile(ctile, (1, 1, 1, p))
+
+    w0e = jnp.zeros((8, h8), jnp.float32).at[:3, :H].set(
+        w0.astype(jnp.float32)
+    )
+    w1e = jnp.zeros((h8, h8), jnp.float32).at[:H, :H].set(
+        w1.astype(jnp.float32)
+    )
+    aff = jnp.zeros((4, h8), jnp.float32)
+    aff = aff.at[0, :H].set(a0.astype(jnp.float32))
+    aff = aff.at[1, :H].set(c0.astype(jnp.float32))
+    aff = aff.at[2, :H].set(a1.astype(jnp.float32))
+    aff = aff.at[3, :H].set(c1.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_conv_strided, width2=width2, tile=tile, k_cols=K,
+            h8=h8, r8=r8, f8=f8, nt=nt, nb=B, p=p, nchunk=nchunk,
+            slope=slope,
+        ),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, nchunk, p * tile), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, p * tile), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h8 + r8, tile), lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nt, h8 + r8, tile), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, f8, width2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(s_al, jnp.int32), rel_packed, ctr, w0e, w1e, aff, xpT)
+    out = jnp.swapaxes(out, 2, 3).reshape(B, nt * tile, h8 + r8)
+    conv = out[:, :M, :H].astype(x.dtype)
+    res_max = out[:, :M, h8 : h8 + R].astype(res.dtype)
+    return conv, res_max
 
 
 @functools.partial(

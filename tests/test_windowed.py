@@ -378,3 +378,54 @@ class TestFusedPointConv:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
         )
+
+    def test_fused_strided_matches_unfused_eval(self, monkeypatch):
+        """Strided fused body (conv + residual max-pool rider) against
+        the unfused module path."""
+        from crfconv_tpu.models.point_conv_big import PointConv
+        from crfconv_tpu.ops import conv_pallas
+
+        n, m, k, h, r = 16384, 4096, 8, 8, 16
+        pos = _sorted_cloud(1, n)
+        sub_pos = pos[:, ::4]
+        x = jnp.asarray(RNG.standard_normal((1, n, h)).astype(np.float32))
+        res = jnp.asarray(RNG.standard_normal((1, n, r)).astype(np.float32))
+        # strided window-consistent indices: near the ×4 diagonal
+        idx = np.clip(
+            (np.arange(m) * 4)[None, :, None]
+            + RNG.integers(-48, 48, (1, m, k)),
+            0, n - 1,
+        ).astype(np.int32)
+        idx = jnp.asarray(idx)
+
+        model = PointConv(d_model=h)
+        with neighbor_mode("windowed"):
+            variables = model.init(
+                jax.random.PRNGKey(0), x, pos, idx,
+                sub_pos=sub_pos, extra=res, train=False,
+            )
+            stats = jax.tree.map(
+                lambda a: a + 0.1 + 0.05 * jnp.arange(a.size, dtype=a.dtype),
+                variables["batch_stats"],
+            )
+            variables = {**variables, "batch_stats": stats}
+
+            ref, ref_r = model.apply(
+                variables, x, pos, idx, sub_pos=sub_pos, extra=res,
+                train=False,
+            )
+            monkeypatch.setattr(conv_pallas, "FUSED_MAX_H", 32)
+            monkeypatch.setattr(conv_pallas, "FUSED_INTERPRET", True)
+            got, got_r = model.apply(
+                variables, x, pos, idx, sub_pos=sub_pos, extra=res,
+                train=False,
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
+        )
+        # the fused rider is bit-exact f32; the unfused reference went
+        # through the hi/lo-bf16 windowed gather (~2^-16 relative error),
+        # so compare at that floor rather than exactly
+        np.testing.assert_allclose(
+            np.asarray(got_r), np.asarray(ref_r), rtol=1e-3, atol=1e-4
+        )
