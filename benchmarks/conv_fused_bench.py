@@ -29,6 +29,15 @@ SHAPES = [
     ("sem3d-scale0-h32", 8, 65536, 16, 32),
 ]
 
+# (label, B, N, M, K, hidden, R) — strided blocks with the residual
+# max-pool rider (flagship conv2_1..conv5_1 at S3DIS / Semantic3D size)
+STRIDED_SHAPES = [
+    ("s3dis-str2", 8, 8192, 2048, 16, 16, 64),
+    ("s3dis-str3", 8, 2048, 512, 16, 32, 128),
+    ("sem3d-str2", 8, 65536, 16384, 16, 16, 64),
+    ("sem3d-str3", 8, 16384, 4096, 16, 32, 128),
+]
+
 
 def main():
     import jax
@@ -89,6 +98,74 @@ def main():
             )
             results[label]["rel_err"] = err
             print(f"# {label} rel_err {err:.2e}", file=sys.stderr, flush=True)
+
+    for label, B, N, M, K, H, R in STRIDED_SHAPES:
+        pos = jnp.asarray(
+            np.sort(rng.random((B, N, 3), dtype=np.float32), axis=1)
+        )
+        sub_pos = pos[:, :: N // M]
+        x = jnp.asarray(rng.standard_normal((B, N, H)).astype(np.float32))
+        res = jnp.asarray(rng.standard_normal((B, N, R)).astype(np.float32))
+        stride = N // M
+        idx = jnp.asarray(
+            np.clip(
+                (np.arange(M) * stride)[None, :, None]
+                + rng.integers(-96, 96, (B, M, K)),
+                0, N - 1,
+            ).astype(np.int32)
+        )
+        model = PointConv(d_model=H)
+        with neighbor_mode("windowed"):
+            variables = model.init(
+                jax.random.PRNGKey(0), x, pos, idx,
+                sub_pos=sub_pos, extra=res, train=False,
+            )
+
+            results[label] = {}
+            for armed in (0, 128):
+                conv_pallas.FUSED_MAX_H = armed
+
+                def step(carry, idx=idx, variables=variables, model=model,
+                         sub_pos=sub_pos, res=res):
+                    out, res_max = model.apply(
+                        variables, carry, pos, idx,
+                        sub_pos=sub_pos, extra=res, train=False,
+                    )
+                    bump = jnp.sum(out) + jnp.sum(res_max)
+                    return carry + 1e-12 * bump
+
+                t = device_time(step, x, iters=10)
+                key = "fused" if armed else "unfused"
+                results[label][key] = round(t * 1e3, 3)
+                print(
+                    f"# {label} [{key}]: {t * 1e3:.3f} ms",
+                    file=sys.stderr, flush=True,
+                )
+            conv_pallas.FUSED_MAX_H = 0
+            ref, ref_r = model.apply(
+                variables, x, pos, idx, sub_pos=sub_pos, extra=res,
+                train=False,
+            )
+            conv_pallas.FUSED_MAX_H = 128
+            got, got_r = model.apply(
+                variables, x, pos, idx, sub_pos=sub_pos, extra=res,
+                train=False,
+            )
+            conv_pallas.FUSED_MAX_H = 0
+            err = float(
+                jnp.max(jnp.abs(got - ref))
+                / (jnp.max(jnp.abs(ref)) + 1e-9)
+            )
+            err_r = float(
+                jnp.max(jnp.abs(got_r - ref_r))
+                / (jnp.max(jnp.abs(ref_r)) + 1e-9)
+            )
+            results[label]["rel_err"] = err
+            results[label]["rel_err_rider"] = err_r
+            print(
+                f"# {label} rel_err {err:.2e} rider {err_r:.2e}",
+                file=sys.stderr, flush=True,
+            )
     print(json.dumps({"metric": "fused point-conv A/B", **results}))
 
 
