@@ -72,6 +72,9 @@ def main():
             results[label] = {}
             for armed in (0, 128):
                 conv_pallas.FUSED_MAX_H = armed
+                # engage the kernel even at small row counts so the A/B
+                # informs the production FUSED_MIN_ROWS threshold
+                conv_pallas.FUSED_MIN_ROWS = 0 if armed else 1 << 30
 
                 def step(carry, idx=idx, variables=variables, model=model):
                     out = model.apply(
@@ -88,8 +91,10 @@ def main():
                 )
             # parity on device
             conv_pallas.FUSED_MAX_H = 0
+            conv_pallas.FUSED_MIN_ROWS = 1 << 30
             ref = model.apply(variables, x, pos, idx, train=False)
             conv_pallas.FUSED_MAX_H = 128
+            conv_pallas.FUSED_MIN_ROWS = 0
             got = model.apply(variables, x, pos, idx, train=False)
             conv_pallas.FUSED_MAX_H = 0
             err = float(
@@ -124,6 +129,9 @@ def main():
             results[label] = {}
             for armed in (0, 128):
                 conv_pallas.FUSED_MAX_H = armed
+                # engage the kernel even at small row counts so the A/B
+                # informs the production FUSED_MIN_ROWS threshold
+                conv_pallas.FUSED_MIN_ROWS = 0 if armed else 1 << 30
 
                 def step(carry, idx=idx, variables=variables, model=model,
                          sub_pos=sub_pos, res=res):
@@ -142,11 +150,13 @@ def main():
                     file=sys.stderr, flush=True,
                 )
             conv_pallas.FUSED_MAX_H = 0
+            conv_pallas.FUSED_MIN_ROWS = 1 << 30
             ref, ref_r = model.apply(
                 variables, x, pos, idx, sub_pos=sub_pos, extra=res,
                 train=False,
             )
             conv_pallas.FUSED_MAX_H = 128
+            conv_pallas.FUSED_MIN_ROWS = 0
             got, got_r = model.apply(
                 variables, x, pos, idx, sub_pos=sub_pos, extra=res,
                 train=False,

@@ -35,6 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 FUSED_MAX_H = 0
 # Test hook: run the kernel in interpret mode off-TPU.
 FUSED_INTERPRET = False
+# Smallest output-row count worth a kernel launch (A/B harness patches
+# this to 0 so small shapes still engage the kernel for measurement).
+FUSED_MIN_ROWS = 4096
 
 
 def fused_eligible(train, sub_pos, extra, hidden, n_rows, k, mode) -> bool:
@@ -47,7 +50,7 @@ def fused_eligible(train, sub_pos, extra, hidden, n_rows, k, mode) -> bool:
     if mode["mode"] != "windowed" or hidden > FUSED_MAX_H:
         return False
     p = max(128 // mode["tile"], 1)
-    if k % p != 0 or n_rows < 4096:
+    if k % p != 0 or n_rows < FUSED_MIN_ROWS:
         return False
     return FUSED_INTERPRET or jax.default_backend() == "tpu"
 
