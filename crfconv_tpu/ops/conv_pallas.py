@@ -52,6 +52,18 @@ def fused_eligible(train, sub_pos, extra, hidden, n_rows, k, mode) -> bool:
     p = max(128 // mode["tile"], 1)
     if k % p != 0 or n_rows < FUSED_MIN_ROWS:
         return False
+    # VMEM budget: the double-buffered transposed window scratch is
+    # [2, f8, width2] f32 (f8 = 8 + hidden + rider rows, width2 ≈
+    # tile + 2·pad rounded up to 128, plus the start-alignment slack).
+    # Stay within the same 12 MB envelope windowed_gather enforces so a
+    # pathological tile/pad/H/R config falls back to the unfused path
+    # instead of dying in the Mosaic compiler.
+    h8 = -(-hidden // 8) * 8
+    r8 = 0 if extra is None else -(-extra.shape[-1] // 8) * 8
+    f8 = 8 + h8 + r8
+    width2 = -(-(mode["tile"] + 2 * mode["pad"]) // 128) * 128 + 128
+    if 2 * f8 * width2 * 4 > 12 * 2**20:
+        return False
     return FUSED_INTERPRET or jax.default_backend() == "tpu"
 
 
