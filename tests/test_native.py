@@ -38,6 +38,34 @@ class TestNativeKnn:
         idx = knn_mod.knn_batch(pts, pts, 4)
         np.testing.assert_array_equal(idx[0, :, 0], np.arange(300))
 
+    def test_duplicate_points_tie_break(self):
+        """Exact index-order tie-breaking under heavy distance ties — the
+        adversarial case for the Morton-seeded prune bound (a seeded
+        bound must never skip an equal-distance, lower-index candidate)."""
+        knn_mod, _ = _native_or_skip()
+        base = RNG.randn(64, 3).astype(np.float32)
+        # every point duplicated 8x -> every query has 8-way zero-distance
+        # ties and dense equal-distance shells beyond
+        pts = np.repeat(base, 8, axis=0)[None]          # [1, 512, 3]
+        idx = knn_mod.knn_batch(pts, pts, 12)
+        d = ((pts[0][:, None] - pts[0][None]) ** 2).sum(-1)
+        ref = np.argsort(d, axis=-1, kind="stable")[:, :12]
+        np.testing.assert_array_equal(idx[0], ref)
+
+    def test_clustered_matches_bruteforce(self):
+        """Tight clusters with big empty gaps stress the seeded bound
+        across cluster hops (previous query's neighborhood is far)."""
+        knn_mod, _ = _native_or_skip()
+        centers = RNG.randn(16, 3).astype(np.float32) * 50
+        pts = (
+            centers[RNG.randint(0, 16, 800)]
+            + RNG.randn(800, 3).astype(np.float32) * 0.01
+        ).astype(np.float32)[None]
+        idx = knn_mod.knn_batch(pts, pts, 10)
+        d = ((pts[0][:, None] - pts[0][None]) ** 2).sum(-1)
+        ref = np.argsort(d, axis=-1, kind="stable")[:, :10]
+        np.testing.assert_array_equal(idx[0], ref)
+
     def test_distance_pick_coverage(self):
         knn_mod, _ = _native_or_skip()
         pts = RNG.randn(2, 256, 3).astype(np.float32)
