@@ -92,7 +92,30 @@ def worker(proc_id: int, nprocs: int, ndevs: int, steps: int, port: int):
         loss = float(m["loss"])  # replicated scalar: same on every host
         assert np.isfinite(loss)
         losses.append(loss)
-    print(json.dumps({"proc": proc_id, "losses": losses}), flush=True)
+
+    # eval/vote fetch path (ADVICE r2 low #4): a batch-sharded eval
+    # output is NOT fully addressable under process_count > 1, so
+    # Trainer._fetch must process_allgather it before numpy conversion —
+    # execute that exact branch and checksum the gathered result so the
+    # parent can assert every process reconstructed the same global array
+    from crfconv_tpu.train.trainer import Trainer
+
+    logits = jax.jit(
+        lambda s, b: model.apply(
+            {"params": s.params, "batch_stats": s.batch_stats},
+            b, train=False,
+        )
+    )(state, gb)
+    assert not logits.is_fully_addressable or nprocs == 1
+    gathered = Trainer._fetch(logits)
+    assert gathered.shape[0] == per_proc_batch * nprocs, gathered.shape
+    fetch_sum = float(np.abs(gathered).sum())
+    print(
+        json.dumps(
+            {"proc": proc_id, "losses": losses, "fetch_sum": fetch_sum}
+        ),
+        flush=True,
+    )
 
 
 def main():
@@ -137,12 +160,18 @@ def main():
         assert all(
             abs(a - b) < 1e-6 for a, b in zip(base, r["losses"])
         ), (base, r)
+    # _fetch/process_allgather: every process reconstructed the same
+    # global eval array
+    fs = results[0]["fetch_sum"]
+    for r in results[1:]:
+        assert abs(r["fetch_sum"] - fs) < 1e-4 * max(1.0, abs(fs)), results
     print(json.dumps({
         "multihost": "OK",
         "processes": args.procs,
         "devices_per_process": args.devs,
         "global_devices": args.procs * args.devs,
         "losses": base,
+        "fetch_sum": fs,
     }))
 
 
