@@ -113,6 +113,71 @@ def main():
             jnp.max(jnp.abs(out - ref))
         )
 
+        # ---- FULL spatial forward (parallel/spatial_forward.py) ----
+        # flagship at Semantic3D shape, point-sharded 8 ways; compiled
+        # memory + collective census vs the unsharded forward.  B=1 keeps
+        # the CPU-mesh compile tractable; the per-device story is
+        # per-cloud and scales linearly in B.
+        from crfconv_tpu.data.batch import PointBatch
+        from crfconv_tpu.models import PointConvResNet
+        from crfconv_tpu.ops.windowed import build_pyramid_windowed
+        from crfconv_tpu.parallel import make_spatial_forward
+
+        nf = 65536
+        posf = jnp.asarray(rng.random((1, nf, 3)), jnp.float32)
+        xf = jnp.asarray(rng.random((1, nf, 6)), jnp.float32)
+        order, scales = build_pyramid_windowed(
+            posf, key=jax.random.PRNGKey(2)
+        )
+        wb = PointBatch(
+            x=jnp.take_along_axis(xf, order[..., None], axis=1),
+            y=None, scales=scales,
+        )
+        model = PointConvResNet(n_classes=8, use_crf=True, steps=1)
+        wvars = model.init(
+            {"params": jax.random.PRNGKey(3),
+             "dropout": jax.random.PRNGKey(4)},
+            wb, train=False,
+        )
+        fn, info = make_spatial_forward(model, mesh, wb)
+        compf = fn.jitted.lower(wvars, wb).compile()
+        memf = compf.memory_analysis()
+        textf = compf.as_text()
+        # fat all-gather = one whose result names a dimension >= 32768
+        # (a scale-0/1-sized array); the design only ever gathers the
+        # tiny replicated coarse scales
+        fat = [
+            m
+            for m in re.findall(r"all-gather[^\n]*=\s*\S*\[([0-9,]+)\]", textf)
+            if any(int(d) >= 32768 for d in m.split(","))
+        ]
+        report["full_forward_spatial"] = {
+            "sharded_scales": info["sharded_scales"],
+            "replicated_scales": info["replicated_scales"],
+            "per_device_temp_MB": round(memf.temp_size_in_bytes / 2**20, 1),
+            "collective_permutes": len(
+                re.findall(r"collective-permute", textf)
+            ),
+            "all_gathers": len(re.findall(r"all-gather", textf)),
+            "fat_all_gathers": len(fat),
+        }
+        compu = (
+            jax.jit(lambda v, b: model.apply(v, b, train=False))
+            .lower(wvars, wb)
+            .compile()
+        )
+        report["full_forward_unsharded"] = {
+            "temp_MB": round(
+                compu.memory_analysis().temp_size_in_bytes / 2**20, 1
+            ),
+        }
+        # executed equality at scale
+        outf = fn(wvars, wb)
+        reff = model.apply(wvars, wb, train=False)
+        report["full_forward_max_abs_delta"] = float(
+            jnp.max(jnp.abs(outf - reff))
+        )
+
     print(json.dumps(report))
 
 

@@ -49,6 +49,12 @@ def fused_eligible(train, sub_pos, extra, hidden, n_rows, k, mode) -> bool:
         return False
     if mode["mode"] != "windowed" or hidden > FUSED_MAX_H:
         return False
+    from crfconv_tpu.ops import spatial_state
+
+    if spatial_state.current() is not None:
+        # the fused kernel gathers internally (bypassing the spatial
+        # halo funnel); a spatial variant is future work
+        return False
     p = max(128 // mode["tile"], 1)
     if k % p != 0 or n_rows < FUSED_MIN_ROWS:
         return False

@@ -213,6 +213,15 @@ def crf_mean_field(
       x: [B, N, H] refined features.
     """
     from crfconv_tpu.ops.neighbors import get_neighbor_mode
+    from crfconv_tpu.ops import spatial_state
+
+    if spatial_state.current() is not None:
+        # point-sharded forward: chunked halo iteration on the local span
+        from crfconv_tpu.parallel.spatial_forward import crf_mean_field_ctx
+
+        return crf_mean_field_ctx(
+            z, s, neighbor_idx, c, steps, neighbors0, allow_fused
+        )
 
     mode = get_neighbor_mode()
     if allow_fused and _fused_ok(z.shape[1], z.shape[2], steps, mode):
@@ -254,6 +263,21 @@ def discrete_crf_update(
         w = jnp.where(mask, w, 0.0)
 
     from crfconv_tpu.ops.neighbors import get_neighbor_mode
+    from crfconv_tpu.ops import spatial_state
+
+    if spatial_state.current() is not None:
+        ctx = spatial_state.current()
+        fr = ctx["frames"].get(p.shape[1])
+        if fr is not None and fr[0]:
+            raise NotImplementedError(
+                "discrete CRF under a point-sharded spatial forward is not "
+                "implemented; replicate this scale or use the continuous CRF"
+            )
+        with spatial_state.suspend():
+            return discrete_crf_update(
+                p, unary, w, neighbor_idx, compat, steps=steps,
+                allow_fused=allow_fused,
+            )
 
     mode = get_neighbor_mode()
     if allow_fused and _fused_ok(p.shape[1], p.shape[2], steps, mode):

@@ -66,6 +66,14 @@ def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
       [B, M, K, F] neighbor features.
     """
     if _MODE["mode"] == "windowed":
+        from crfconv_tpu.ops import spatial_state
+
+        if spatial_state.current() is not None:
+            # point-sharded forward (parallel/spatial_forward.py): the
+            # gather runs halo-exchanged on this device's local span
+            from crfconv_tpu.parallel.spatial_forward import spatial_gather
+
+            return spatial_gather(x, idx, _MODE["tile"], _MODE["pad"])
         from crfconv_tpu.ops.windowed import windowed_gather
 
         return windowed_gather(x, idx, _MODE["tile"], _MODE["pad"])

@@ -9,3 +9,10 @@ from crfconv_tpu.parallel.sharding import (  # noqa: F401
 from crfconv_tpu.parallel.spatial import (  # noqa: F401
     crf_mean_field_spatial,
 )
+from crfconv_tpu.parallel.spatial_forward import (  # noqa: F401
+    forward_spatial,
+    make_spatial_forward,
+)
+from crfconv_tpu.parallel.spatial_build import (  # noqa: F401
+    build_pyramid_windowed_spatial,
+)

@@ -69,6 +69,47 @@ def _exchange_halo(x: jnp.ndarray, h: int, axis: str) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=1)
 
 
+def _crf_local_chunks(
+    z_l, s_l, idx_l, c_r, *, steps, j, h, local, axis, allow_fused
+):
+    """Per-device chunked CRF mean field on a halo-extended block.
+
+    Runs INSIDE shard_map (used by crf_mean_field_spatial and the
+    full-forward spatial context, parallel/spatial_forward.py): exchange
+    H = J·width rows of state, run J steps on [H | L | H], keep the
+    center L rows, repeat.  The spatial-forward context is suspended
+    around the inner call so the shared jitted CRF kernels are always
+    traced context-free (ops/spatial_state.py documents why)."""
+    from crfconv_tpu.ops import spatial_state
+    from crfconv_tpu.ops.crf import crf_mean_field
+
+    dev = jax.lax.axis_index(axis)
+    offset = dev * local - h                 # ext row 0 in global coords
+    z_e = _exchange_halo(z_l, h, axis)
+    s_e = _exchange_halo(s_l, h, axis)
+    idx_e = jnp.clip(
+        _exchange_halo(idx_l, h, axis) - offset, 0, local + 2 * h - 1
+    ).astype(jnp.int32)
+
+    x_e = z_e
+    done = 0
+    with spatial_state.suspend():
+        while done < steps:
+            take = min(j, steps - done)
+            if done > 0:
+                x_e = _exchange_halo(x_e[:, h:-h], h, axis)
+            # the fused kernel treats z as the initial state AND the
+            # per-step unary; feed the chunk the true unary z_e but start
+            # from the current state by running the chunk's recurrence
+            # x <- (z + (S x) C) M with x0 = current x_e
+            x_e = crf_mean_field(
+                z_e, s_e, idx_e, c_r, steps=take,
+                allow_fused=allow_fused, x0=x_e if done else None,
+            )
+            done += take
+    return x_e[:, h:-h]
+
+
 def crf_mean_field_spatial(
     z: jnp.ndarray,
     s: jnp.ndarray,
@@ -93,7 +134,6 @@ def crf_mean_field_spatial(
     once; deep (steps=10) CRFs on tight spans exchange in chunks.
     """
     from crfconv_tpu.ops.neighbors import get_neighbor_mode
-    from crfconv_tpu.ops.crf import crf_mean_field
 
     mode = get_neighbor_mode()
     tile, pad = mode["tile"], mode["pad"]
@@ -115,31 +155,10 @@ def crf_mean_field_spatial(
         "per device or fewer halo_steps"
     )
 
-    def local_fn(z_l, s_l, idx_l, c_r):
-        dev = jax.lax.axis_index(axis)
-        offset = dev * local - h                 # ext row 0 in global coords
-        z_e = _exchange_halo(z_l, h, axis)
-        s_e = _exchange_halo(s_l, h, axis)
-        idx_e = jnp.clip(
-            _exchange_halo(idx_l, h, axis) - offset, 0, local + 2 * h - 1
-        ).astype(jnp.int32)
-
-        x_e = z_e
-        done = 0
-        while done < steps:
-            take = min(j, steps - done)
-            if done > 0:
-                x_e = _exchange_halo(x_e[:, h:-h], h, axis)
-            # the fused kernel treats z as the initial state AND the
-            # per-step unary; feed the chunk the true unary z_e but start
-            # from the current state by running the chunk's recurrence
-            # x <- (z + (S x) C) M with x0 = current x_e
-            x_e = crf_mean_field(
-                z_e, s_e, idx_e, c_r, steps=take,
-                allow_fused=allow_fused, x0=x_e if done else None,
-            )
-            done += take
-        return x_e[:, h:-h]
+    local_fn = partial(
+        _crf_local_chunks, steps=steps, j=j, h=h, local=local, axis=axis,
+        allow_fused=allow_fused,
+    )
 
     spec_n = P(None, axis)
     fn = jax.shard_map(
