@@ -115,6 +115,29 @@ class TestSpatialForward:
             np.asarray(out), np.asarray(ref), rtol=0, atol=2e-5
         )
 
+    def test_small_family_crf_net(self):
+        """The spatial context generalizes beyond the flagship: the
+        small-family SmallCRFNet (DSPointConv encoder, knn_interpolate,
+        GuideCRFConv decoders) funnels through the same ops."""
+        from crfconv_tpu.models.point_conv_small import SmallCRFNet
+
+        mesh = make_mesh(8)
+        model = SmallCRFNet(steps=1)
+        with neighbor_mode("windowed"):
+            batch = _windowed_batch(1, 16384, 4)
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                batch, train=False,
+            )
+            ref = model.apply(variables, batch, train=False)
+            fn, info = make_spatial_forward(model, mesh, batch)
+            assert info["sharded_scales"] == [16384, 4096]
+            out = fn(variables, batch)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=2e-5
+        )
+
     def test_output_is_point_sharded(self):
         mesh = make_mesh(8)
         model = PointConvResNet(
