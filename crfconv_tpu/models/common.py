@@ -85,11 +85,43 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
 
+        # point-sharded training (parallel/spatial_train.py): when this
+        # array's point-axis frame is sharded over a mesh axis, batch
+        # statistics must be GLOBAL — reduce (count, Σx, Σx²) with psum
+        spatial_axis = None
+        if train:
+            from crfconv_tpu.ops import spatial_state
+
+            ctx = spatial_state.current()
+            if ctx is not None and x.ndim >= 2:
+                fr = ctx["frames"].get(x.shape[1])
+                if fr is not None and fr[0]:
+                    spatial_axis = ctx["axis"]
+
         if train:
             # statistics at least f32; f64 inputs (x64 parity tests) keep f64
             xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             reduce_axes = tuple(range(x.ndim - 1))
-            if mask is None:
+            if spatial_axis is not None:
+                if mask is None:
+                    count = jnp.asarray(
+                        float(x.size // features), dtype=jnp.float32
+                    )
+                    s1 = jnp.sum(xf, axis=reduce_axes)
+                    s2 = jnp.sum(jnp.square(xf), axis=reduce_axes)
+                else:
+                    m = mask.astype(jnp.float32)[..., None]
+                    count = jnp.sum(m)
+                    s1 = jnp.sum(xf * m, axis=reduce_axes)
+                    s2 = jnp.sum(jnp.square(xf) * m, axis=reduce_axes)
+                count = jnp.maximum(
+                    jax.lax.psum(count, spatial_axis), 1.0
+                )
+                s1 = jax.lax.psum(s1, spatial_axis)
+                s2 = jax.lax.psum(s2, spatial_axis)
+                mean = s1 / count
+                var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
+            elif mask is None:
                 count = jnp.asarray(
                     float(x.size // features), dtype=jnp.float32
                 )

@@ -16,3 +16,6 @@ from crfconv_tpu.parallel.spatial_forward import (  # noqa: F401
 from crfconv_tpu.parallel.spatial_build import (  # noqa: F401
     build_pyramid_windowed_spatial,
 )
+from crfconv_tpu.parallel.spatial_train import (  # noqa: F401
+    make_spatial_train_step,
+)

@@ -40,7 +40,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from crfconv_tpu.data.batch import ScaleData
 from crfconv_tpu.parallel.spatial import _exchange_halo
-from crfconv_tpu.parallel.spatial_forward import _halo_pair
+from crfconv_tpu.parallel.spatial_forward import (
+    _all_gather_replicated,
+    _halo_pair,
+)
 
 _SENTINEL = 2e9  # matches ops.windowed._pad_src's far-away source pad
 
@@ -74,11 +77,11 @@ def _knn_local(
 
     if h_t > lt_local or h_s > ls_local:
         # deep-scale fallback: operands are tiny there — gather whole
-        pos_f = jax.lax.all_gather(pos_l, axis, axis=1, tiled=True)
+        pos_f = _all_gather_replicated(pos_l, axis)
         q_f = (
             None
             if query_l is None
-            else jax.lax.all_gather(query_l, axis, axis=1, tiled=True)
+            else _all_gather_replicated(query_l, axis)
         )
         idx = window_knn(pos_f, k, query_pos=q_f, tile=tile, pad=pad)
         return jax.lax.dynamic_slice_in_dim(
@@ -188,10 +191,8 @@ def build_pyramid_windowed_spatial(
             else:
                 # cutover: this (already small) scale is gathered once;
                 # everything coarser is computed replicated
-                p_full = jax.lax.all_gather(p, axis, axis=1, tiled=True)
-                nidx_full = jax.lax.all_gather(
-                    nidx, axis, axis=1, tiled=True
-                )
+                p_full = _all_gather_replicated(p, axis)
+                nidx_full = _all_gather_replicated(nidx, axis)
                 sub_pos = jnp.take(p_full, choices_l[s], axis=1)
                 sub_idx = jnp.take(nidx_full, choices_l[s], axis=1)
                 up_full = window_knn(
@@ -242,13 +243,8 @@ def build_pyramid_windowed_spatial(
         cur = sample_num
     out_specs = tuple(out_specs)
 
-    # check_vma=False: the tail-scale outputs are genuinely replicated
-    # (pure functions of all-gathered positions and replicated choice
-    # vectors) but the variance checker cannot infer it through the
-    # gather/take chain; the bitwise-equality test asserts it instead
     fn = jax.shard_map(
-        local_build, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
+        local_build, mesh=mesh, in_specs=in_specs, out_specs=out_specs
     )
     pos = jax.device_put(pos, NamedSharding(mesh, P(None, axis)))
     choices = [

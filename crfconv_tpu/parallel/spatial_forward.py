@@ -79,6 +79,26 @@ def same_scale_halo(tile: int, pad: int) -> int:
     return _halo_pair(1024, 1024, tile, pad)[0]
 
 
+def _all_gather_replicated(x, axis: str):
+    """all_gather (tiled, axis 1) whose result is TYPED replicated (vma).
+
+    ``jax.lax.all_gather`` keeps the device-varying type, which breaks
+    out_specs replication checks and — worse — psum transposition in
+    backward passes (the check_vma=False escape hatch silently
+    mis-differentiates through psum).  Equivalent formulation: scatter
+    the local shard into its global slot and psum — one collective,
+    replicated-typed output, works for ints and floats, and the
+    transpose (slice ∘ psum) routes cotangents exactly."""
+    ndev = jax.lax.axis_size(axis)
+    dev = jax.lax.axis_index(axis)
+    n_local = x.shape[1]
+    buf = jnp.zeros(
+        x.shape[:1] + (n_local * ndev,) + x.shape[2:], x.dtype
+    )
+    buf = jax.lax.dynamic_update_slice_in_dim(buf, x, dev * n_local, axis=1)
+    return jax.lax.psum(buf, axis)
+
+
 # ---------------------------------------------------------------------------
 # ctx-aware ops (called from the hooks in ops/neighbors.py, ops/crf.py)
 # ---------------------------------------------------------------------------
@@ -110,7 +130,7 @@ def spatial_gather(x, idx, tile: int, pad: int):
     with spatial_state.suspend():
         if not tgt_sh:
             if src_sh:  # coarse replicated target from sharded fine source
-                x = jax.lax.all_gather(x, ax, axis=1, tiled=True)
+                x = _all_gather_replicated(x, ax)
             return windowed_gather(x, idx, tile, pad)
 
         lt = idx.shape[1]
@@ -125,8 +145,8 @@ def spatial_gather(x, idx, tile: int, pad: int):
             # whole-op fallback — only ever hit by tiny coarse scales
             # (e.g. 1-NN upsample out of a replicated deep scale)
             if src_sh:
-                x = jax.lax.all_gather(x, ax, axis=1, tiled=True)
-            idx_f = jax.lax.all_gather(idx, ax, axis=1, tiled=True)
+                x = _all_gather_replicated(x, ax)
+            idx_f = _all_gather_replicated(idx, ax)
             out = windowed_gather(x, idx_f, tile, pad)
             dev = jax.lax.axis_index(ax)
             return jax.lax.dynamic_slice_in_dim(out, dev * lt, lt, axis=1)

@@ -54,6 +54,51 @@ def weighted_cross_entropy(
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
+def weighted_cross_entropy_parts(
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_weights: Optional[jnp.ndarray] = None,
+    ignore_index: int = -1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(numerator Σ w·nll, denominator Σ w) of the weighted CE — lets a
+    point-sharded trainer psum both parts for the exact global loss
+    (parallel/spatial_train.py)."""
+    n_classes = scores.shape[-1]
+    logp = jax.nn.log_softmax(
+        scores.astype(jnp.promote_types(scores.dtype, jnp.float32)), axis=-1
+    )
+    labels = labels.reshape(-1)
+    logp = logp.reshape(-1, n_classes)
+    valid = (labels != ignore_index) & (labels >= 0) & (labels < n_classes)
+    safe = jnp.where(valid, labels, 0)
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+    if class_weights is None:
+        w = valid.astype(logp.dtype)
+    else:
+        w = jnp.where(valid, class_weights[safe], 0.0).astype(logp.dtype)
+    return jnp.sum(nll * w), jnp.sum(w)
+
+
+def segmentation_loss_parts(
+    outputs: Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]],
+    labels: jnp.ndarray,
+    class_weights: Optional[jnp.ndarray] = None,
+    ignore_index: int = -1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Numerator/denominator form of :func:`segmentation_loss` (heads
+    share the denominator, so dual-head loss = Σ num_h / den)."""
+    heads = outputs if isinstance(outputs, (tuple, list)) else (outputs,)
+    num = 0.0
+    den = None
+    for o in heads:
+        n_h, d_h = weighted_cross_entropy_parts(
+            o, labels, class_weights, ignore_index
+        )
+        num = num + n_h
+        den = d_h if den is None else den
+    return num, den
+
+
 def segmentation_loss(
     outputs: Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]],
     labels: jnp.ndarray,
