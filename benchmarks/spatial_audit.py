@@ -178,6 +178,42 @@ def main():
             jnp.max(jnp.abs(outf - reff))
         )
 
+        # ---- point-sharded TRAIN step (parallel/spatial_train.py) ----
+        from crfconv_tpu.parallel.spatial_train import make_spatial_train_step
+        from crfconv_tpu.train.train_state import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        yb = jnp.asarray(rng.integers(0, 8, (1, nf)), jnp.int32)
+        tb = wb._replace(y=yb)
+        tx = make_optimizer(lr=0.01, steps_per_epoch=10)
+        tstate = create_train_state(model, tb, tx, seed=0)
+        sp_step = make_spatial_train_step(model, mesh, tb)
+        compt = sp_step.jitted.lower(
+            tstate, tb, jax.random.PRNGKey(0)
+        ).compile()
+        textt = compt.as_text()
+        report["train_step_spatial"] = {
+            "per_device_temp_MB": round(
+                compt.memory_analysis().temp_size_in_bytes / 2**20, 1
+            ),
+            "collective_permutes": len(
+                re.findall(r"collective-permute", textt)
+            ),
+            "all_gathers": len(re.findall(r"all-gather", textt)),
+        }
+        ref_step = jax.jit(make_train_step(model))
+        comptu = ref_step.lower(
+            tstate, tb, jax.random.PRNGKey(0)
+        ).compile()
+        report["train_step_unsharded"] = {
+            "temp_MB": round(
+                comptu.memory_analysis().temp_size_in_bytes / 2**20, 1
+            ),
+        }
+
     print(json.dumps(report))
 
 
