@@ -1,0 +1,100 @@
+"""High-level inference API: raw clouds in, per-point labels out.
+
+``Predictor`` packages the windowed serving path — Morton sort, pyramid
+build, forward, inverse permutation — behind one call, in two flavors:
+
+  * single-device (default): the whole pipeline under one jit on the
+    current chip (the 3.49 M pts/s bench.py path).
+  * point-sharded (pass a ``jax.sharding.Mesh``): the pyramid builds and
+    the model runs halo-exchanged over the mesh
+    (parallel/spatial_build.py + spatial_forward.py), so clouds larger
+    than one chip's HBM are served as one connected network.
+
+The reference has no serving story at all — its inference is the
+trainer's vote loop over dataset crops (trainval.py:218-327); this is
+the "hand the framework a cloud" entry point a production user needs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from crfconv_tpu.data.batch import PointBatch
+
+
+class Predictor:
+    """Reusable (traced-once per shape) windowed inference runner.
+
+    Args:
+      model:     a flax module consuming a PointBatch (any registry model).
+      variables: its trained variables ({"params", "batch_stats"}).
+      mesh:      optional Mesh — point-shard the build + forward over it.
+      key:       PRNG key for the stratified pyramid subsampling.
+    """
+
+    def __init__(self, model, variables, mesh=None, key=None):
+        self.model = model
+        self.variables = variables
+        self.mesh = mesh
+        self.key = jax.random.PRNGKey(0) if key is None else key
+        self._spatial_fn = None  # (shape → fn) built lazily
+
+    def _predict_single(self, pos, feats):
+        from crfconv_tpu.ops.windowed import build_pyramid_windowed
+
+        def run(variables, pos, feats, key):
+            order, scales = build_pyramid_windowed(pos, key=key)
+            x = jnp.take_along_axis(feats, order[..., None], axis=1)
+            logits = self.model.apply(
+                variables, PointBatch(x=x, y=None, scales=scales),
+                train=False,
+            )
+            # sorted row i is original row order[b, i]; argsort(order)
+            # maps original row j back to its sorted position
+            return jnp.take_along_axis(
+                logits, jnp.argsort(order, axis=1)[..., None], axis=1
+            )
+
+        return jax.jit(run)(self.variables, pos, feats, self.key)
+
+    def _predict_spatial(self, pos, feats):
+        from crfconv_tpu.ops.morton import morton_order
+        from crfconv_tpu.parallel import (
+            build_pyramid_windowed_spatial,
+            make_spatial_forward,
+        )
+
+        order = morton_order(pos)
+        pos_s = jnp.take_along_axis(pos, order[..., None], axis=1)
+        x_s = jnp.take_along_axis(feats, order[..., None], axis=1)
+        scales = build_pyramid_windowed_spatial(
+            pos_s, self.mesh, key=self.key
+        )
+        batch = PointBatch(x=x_s, y=None, scales=scales)
+        if self._spatial_fn is None:
+            self._spatial_fn, self.spatial_info = make_spatial_forward(
+                self.model, self.mesh, batch
+            )
+        logits_s = self._spatial_fn(self.variables, batch)
+        # logits land point-sharded in Morton order; unsort to the input
+        # order (cheap [B, N, C] reshuffle)
+        return jnp.take_along_axis(
+            jnp.asarray(logits_s), jnp.argsort(order, axis=1)[..., None],
+            axis=1,
+        )
+
+    def predict_logits(self, pos, feats) -> jnp.ndarray:
+        """[B, N, 3] positions + [B, N, C_in] features → [B, N, n_classes]
+        logits in the INPUT point order."""
+        pos = jnp.asarray(pos)
+        feats = jnp.asarray(feats)
+        if self.mesh is not None:
+            return self._predict_spatial(pos, feats)
+        return self._predict_single(pos, feats)
+
+    def predict(self, pos, feats) -> jnp.ndarray:
+        """[B, N, 3] + [B, N, C_in] → [B, N] int32 class labels."""
+        return jnp.argmax(self.predict_logits(pos, feats), axis=-1)
