@@ -37,8 +37,23 @@ def _discrete_crf_idx(pos):
     k = min(DISCRETE_CRF_K, pos.shape[1])
     mode = get_neighbor_mode()
     if mode["mode"] == "windowed":
+        from crfconv_tpu.ops import spatial_state
         from crfconv_tpu.ops.windowed import window_knn
 
+        ctx = spatial_state.current()
+        if ctx is not None:
+            # point-sharded forward: in-model kNN must run halo-exchanged
+            # so the indices come out in the global frame
+            fr = ctx["frames"].get(pos.shape[1])
+            if fr is not None and fr[0]:
+                from crfconv_tpu.parallel.spatial_build import _knn_local
+
+                return _knn_local(
+                    pos, k, ns_g=fr[1], axis=ctx["axis"],
+                    ndev=ctx["ndev"], tile=mode["tile"], pad=mode["pad"],
+                )
+            with spatial_state.suspend():
+                return window_knn(pos, k, tile=mode["tile"], pad=mode["pad"])
         return window_knn(pos, k, tile=mode["tile"], pad=mode["pad"])
     return knn_bruteforce(pos, pos, k)
 

@@ -269,9 +269,25 @@ def discrete_crf_update(
         ctx = spatial_state.current()
         fr = ctx["frames"].get(p.shape[1])
         if fr is not None and fr[0]:
-            raise NotImplementedError(
-                "discrete CRF under a point-sharded spatial forward is not "
-                "implemented; replicate this scale or use the continuous CRF"
+            # point-sharded: chunked halo iteration on the local span
+            from crfconv_tpu.parallel.spatial import (
+                _discrete_local_chunks,
+                _halo_rows,
+            )
+
+            mode = get_neighbor_mode()
+            tile, pad = mode["tile"], mode["pad"]
+            local = p.shape[1]
+            j = steps
+            while j > 1 and 2 * _halo_rows(j, tile, pad) >= local:
+                j -= 1
+            h = _halo_rows(j, tile, pad)
+            assert h <= local, (
+                f"spatial discrete-CRF halo {h} exceeds local span {local}"
+            )
+            return _discrete_local_chunks(
+                p, unary, w, neighbor_idx, compat, steps=steps, j=j, h=h,
+                local=local, axis=ctx["axis"], allow_fused=allow_fused,
             )
         with spatial_state.suspend():
             return discrete_crf_update(

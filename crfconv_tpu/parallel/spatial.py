@@ -110,6 +110,38 @@ def _crf_local_chunks(
     return x_e[:, h:-h]
 
 
+def _discrete_local_chunks(
+    p_l, u_l, w_l, idx_l, compat, *, steps, j, h, local, axis, allow_fused
+):
+    """Chunked halo iteration for the DISCRETE CRF (CRF-as-RNN) — same
+    dependency-cone structure as the continuous `_crf_local_chunks`
+    (q ← softmax(−u − (Σ w q) C): one step reaches one window width)."""
+    from crfconv_tpu.ops import spatial_state
+    from crfconv_tpu.ops.crf import discrete_crf_update
+
+    dev = jax.lax.axis_index(axis)
+    offset = dev * local - h
+    u_e = _exchange_halo(u_l, h, axis)
+    w_e = _exchange_halo(w_l, h, axis)
+    idx_e = jnp.clip(
+        _exchange_halo(idx_l, h, axis) - offset, 0, local + 2 * h - 1
+    ).astype(jnp.int32)
+
+    q_e = _exchange_halo(p_l, h, axis)
+    done = 0
+    with spatial_state.suspend():
+        while done < steps:
+            take = min(j, steps - done)
+            if done > 0:
+                q_e = _exchange_halo(q_e[:, h:-h], h, axis)
+            q_e = discrete_crf_update(
+                q_e, u_e, w_e, idx_e, compat, steps=take,
+                allow_fused=allow_fused,
+            )
+            done += take
+    return q_e[:, h:-h]
+
+
 def crf_mean_field_spatial(
     z: jnp.ndarray,
     s: jnp.ndarray,

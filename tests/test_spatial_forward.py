@@ -138,6 +138,32 @@ class TestSpatialForward:
             np.asarray(out), np.asarray(ref), rtol=0, atol=2e-5
         )
 
+    def test_discrete_crf_segnet(self):
+        """Discrete CRF (CRF-as-RNN) under point sharding: the segnet's
+        in-model kNN(32) runs halo-exchanged and the discrete mean field
+        runs as chunked halo iterations."""
+        from crfconv_tpu.models.segnets import BaselineDiscreteCRFSegNet
+
+        mesh = make_mesh(8)
+        model = BaselineDiscreteCRFSegNet(n_classes=5, steps=2)
+        with neighbor_mode("windowed"):
+            batch = _windowed_batch(1, 16384, 4)
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                batch, train=False,
+            )
+            ref_p, ref_q = model.apply(variables, batch, train=False)
+            fn, info = make_spatial_forward(model, mesh, batch)
+            assert info["sharded_scales"] == [16384, 4096]
+            out_p, out_q = fn(variables, batch)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(ref_p), rtol=0, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_q), np.asarray(ref_q), rtol=0, atol=2e-5
+        )
+
     def test_output_is_point_sharded(self):
         mesh = make_mesh(8)
         model = PointConvResNet(
