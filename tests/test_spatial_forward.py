@@ -138,6 +138,28 @@ class TestSpatialForward:
             np.asarray(out), np.asarray(ref), rtol=0, atol=2e-5
         )
 
+    def test_alternate_window_geometry(self):
+        """The halo math is generic in (tile, pad): t32-p64 shifts every
+        derived quantity (width 256, halo 256) and must still match."""
+        mesh = make_mesh(8)
+        model = PointConvResNet(
+            n_classes=5, use_crf=True, steps=1, layers=(8, 16, 32, 64, 128)
+        )
+        with neighbor_mode("windowed", tile=32, pad=64):
+            batch = _windowed_batch(1, 8192, 4)
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                batch, train=False,
+            )
+            ref = model.apply(variables, batch, train=False)
+            fn, info = make_spatial_forward(model, mesh, batch)
+            assert info["sharded_scales"], info
+            out = fn(variables, batch)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=2e-5
+        )
+
     def test_discrete_crf_segnet(self):
         """Discrete CRF (CRF-as-RNN) under point sharding: the segnet's
         in-model kNN(32) runs halo-exchanged and the discrete mean field
