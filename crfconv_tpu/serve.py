@@ -40,25 +40,28 @@ class Predictor:
         self.variables = variables
         self.mesh = mesh
         self.key = jax.random.PRNGKey(0) if key is None else key
-        self._spatial_fn = None  # (shape → fn) built lazily
+        self._spatial_fn = None   # built lazily on first spatial call
+        self._single_fn = None    # cached jit — retrace only per shape
 
     def _predict_single(self, pos, feats):
         from crfconv_tpu.ops.windowed import build_pyramid_windowed
 
-        def run(variables, pos, feats, key):
-            order, scales = build_pyramid_windowed(pos, key=key)
-            x = jnp.take_along_axis(feats, order[..., None], axis=1)
-            logits = self.model.apply(
-                variables, PointBatch(x=x, y=None, scales=scales),
-                train=False,
-            )
-            # sorted row i is original row order[b, i]; argsort(order)
-            # maps original row j back to its sorted position
-            return jnp.take_along_axis(
-                logits, jnp.argsort(order, axis=1)[..., None], axis=1
-            )
+        if self._single_fn is None:
+            def run(variables, pos, feats, key):
+                order, scales = build_pyramid_windowed(pos, key=key)
+                x = jnp.take_along_axis(feats, order[..., None], axis=1)
+                logits = self.model.apply(
+                    variables, PointBatch(x=x, y=None, scales=scales),
+                    train=False,
+                )
+                # sorted row i is original row order[b, i]; argsort(order)
+                # maps original row j back to its sorted position
+                return jnp.take_along_axis(
+                    logits, jnp.argsort(order, axis=1)[..., None], axis=1
+                )
 
-        return jax.jit(run)(self.variables, pos, feats, self.key)
+            self._single_fn = jax.jit(run)
+        return self._single_fn(self.variables, pos, feats, self.key)
 
     def _predict_spatial(self, pos, feats):
         from crfconv_tpu.ops.morton import morton_order
