@@ -30,9 +30,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Widest hidden dim routed to the fused kernel (0 = disarmed until the
-# hardware A/B in benchmarks/conv_fused_bench.py says it wins).
-FUSED_MAX_H = 0
+# Widest hidden dim routed to the fused kernel.  Armed at 32 by the
+# hardware A/B (benchmarks/conv_fused_bench.py, TPU v5e, r3): the fused
+# kernel wins at every measured shape — sem3d-scale0 22.6→5.4 ms
+# (4.2×), sem3d-scale0-h32 33.2→10.5 ms (3.2×), s3dis-scale0 1.77→0.83
+# ms, strided s3dis-str2 1.61→0.25 ms, sem3d-str2 12.1→4.6 ms.  H>32
+# (the two coarsest scales) is unmeasured and those row counts fall
+# under FUSED_MIN_ROWS anyway.
+FUSED_MAX_H = 32
 # Test hook: run the kernel in interpret mode off-TPU.
 FUSED_INTERPRET = False
 # Smallest output-row count worth a kernel launch (A/B harness patches

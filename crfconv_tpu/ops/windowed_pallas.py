@@ -36,8 +36,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LARGE_M = 4096   # output-row threshold between the two kernel bodies
-V3_MAX_F = 0     # widest F routed to the v3 lane-gather body ("auto";
-                 # armed by TPU measurement in gather_kernel_bench.py)
+V3_MAX_F = 0     # widest F routed to the v3 lane-gather body.  Stays 0:
+                 # the r3 hardware A/B (results_gather_bodies_r3.json)
+                 # measured v3 SLOWER than v1 at every model shape
+                 # (e.g. sem3d-scale0-conv 22.1 vs 16.7 ms) — like v2
+                 # and supertiling, a documented negative result; the
+                 # kernel is MXU/DMA-bound, not lane-gather-bound.
 
 
 def _kernel_large(

@@ -54,11 +54,22 @@ def device_time(
     if warmup:
         float(run_once(init))
         float(run_loop(init))
-    t0 = time.perf_counter()
-    float(run_once(init))
-    t_once = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run_loop(init))
-    t_loop = time.perf_counter() - t0
+
+    def timed(fn):
+        # min-of-3: host-side dispatch jitter on a 1-core machine can
+        # exceed a fast kernel's whole runtime in a single sample
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(init))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_once = timed(run_once)
+    t_loop = timed(run_loop)
     # remove the dispatch-latency floor; one step is included in t_once
-    return max((t_loop - t_once) / max(iters - 1, 1), 1e-9)
+    if t_loop > t_once:
+        return (t_loop - t_once) / max(iters - 1, 1)
+    # noise swamped the diff (seen as "0.000 ms" readings): report the
+    # dispatch-inclusive upper bound rather than a fictitious zero
+    return t_loop / iters
