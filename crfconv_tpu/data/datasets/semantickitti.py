@@ -27,6 +27,44 @@ DEFAULT_SPLIT = {
     "test": [11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21],
 }
 
+# Official 25→19 learning_map (the dataset's semantic-kitti.yaml),
+# shipped as the fallback so a missing yaml can never silently pass raw
+# labels (0..259) through unmapped (reference relies on the yaml,
+# semantickitti_dataset.py:69-75; VERDICT r3 flagged the silent path).
+# 0 = unlabeled/ignore after the remap; moving classes fold into their
+# static counterparts.
+DEFAULT_LEARNING_MAP = {
+    0: 0, 1: 0,                       # unlabeled, outlier
+    10: 1, 252: 1,                    # car (+moving)
+    11: 2,                            # bicycle
+    15: 3,                            # motorcycle
+    18: 4, 258: 4,                    # truck (+moving)
+    13: 5, 16: 5, 20: 5,              # bus/on-rails/other-vehicle
+    256: 5, 257: 5, 259: 5,           #   (+moving variants)
+    30: 6, 254: 6,                    # person (+moving)
+    31: 7, 253: 7,                    # bicyclist (+moving)
+    32: 8, 255: 8,                    # motorcyclist (+moving)
+    40: 9, 60: 9,                     # road, lane-marking
+    44: 10,                           # parking
+    48: 11,                           # sidewalk
+    49: 12,                           # other-ground
+    50: 13,                           # building
+    51: 14,                           # fence
+    52: 0,                            # other-structure -> ignore
+    70: 15,                           # vegetation
+    71: 16,                           # trunk
+    72: 17,                           # terrain
+    80: 18,                           # pole
+    81: 19,                           # traffic-sign
+    99: 0,                            # other-object -> ignore
+}
+
+
+def _build_lut(remap: Dict[int, int]) -> np.ndarray:
+    lut = np.zeros(max(remap.keys()) + 100, dtype=np.int32)
+    lut[list(remap.keys())] = list(remap.values())
+    return lut
+
 
 def load_config(yaml_path: str) -> Tuple[np.ndarray, Dict[str, List[int]]]:
     """learning_map LUT + split from semantic-kitti.yaml."""
@@ -34,10 +72,7 @@ def load_config(yaml_path: str) -> Tuple[np.ndarray, Dict[str, List[int]]]:
 
     with open(yaml_path) as f:
         data = yaml.safe_load(f)
-    remap = data["learning_map"]
-    lut = np.zeros(max(remap.keys()) + 100, dtype=np.int32)
-    lut[list(remap.keys())] = list(remap.values())
-    return lut, data["split"]
+    return _build_lut(data["learning_map"]), data["split"]
 
 
 class SemanticKITTIDataset:
@@ -57,7 +92,12 @@ class SemanticKITTIDataset:
         if os.path.exists(yaml_path):
             self.lut, self.split = load_config(yaml_path)
         else:
-            self.lut, self.split = None, DEFAULT_SPLIT
+            # default learning_map, never raw pass-through
+            self.lut, self.split = (
+                _build_lut(DEFAULT_LEARNING_MAP),
+                DEFAULT_SPLIT,
+            )
+        self.num_classes = int(self.lut.max())
 
         if sequences in ("train", "val", "valid", "test"):
             key = "valid" if sequences == "val" else sequences
@@ -66,14 +106,20 @@ class SemanticKITTIDataset:
             seq_ids = [sequences]
 
         self.filelist: List[str] = []
+        self.frame_seq: List[str] = []   # sequence id per filelist entry
+        self.sequences: List[str] = []
         for seq in seq_ids:
-            self.filelist += sorted(
+            frames = sorted(
                 glob.glob(
                     os.path.join(
                         self.raw_dir, "sequences", seq, "velodyne", "*.bin"
                     )
                 )
             )
+            if frames:
+                self.sequences.append(seq)
+            self.filelist += frames
+            self.frame_seq += [seq] * len(frames)
 
     @staticmethod
     def load_scan(path: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -94,21 +140,54 @@ class SemanticKITTIDataset:
             else len(self.filelist)
         )
 
+    def frames_of(self, seq: str) -> List[int]:
+        """Filelist indices of one sequence, in temporal (file) order —
+        the unit of the per-sequence streaming eval protocol."""
+        return [i for i, s in enumerate(self.frame_seq) if s == seq]
+
+    def get_frame(self, idx: int):
+        """One FULL scan (no subsampling) for streaming eval; same field
+        layout as get_sample."""
+        path = self.filelist[idx]
+        points, remission = self.load_scan(path)
+        y = self._frame_labels(path, points.shape[0])
+        return {
+            "pos": points,
+            "x": np.concatenate(
+                [points, remission[:, None]], axis=-1
+            ).astype(np.float32),
+            "y": y,
+            "cloud_idx": np.int64(idx),
+            "sequence": self.frame_seq[idx],
+        }
+
+    def _frame_labels(self, scan_path: str, n: int) -> np.ndarray:
+        label_path = scan_path.replace("velodyne", "labels").replace(
+            ".bin", ".label"
+        )
+        if not os.path.exists(label_path):
+            return np.zeros(n, np.int64)
+        sem, _ = self.load_labels(label_path)
+        if sem.max(initial=0) >= self.lut.shape[0]:
+            raise ValueError(
+                f"{label_path}: raw semantic label {int(sem.max())} "
+                f"exceeds the learning_map range ({self.lut.shape[0]}) — "
+                "corrupt labels or a stale semantic-kitti.yaml"
+            )
+        y = self.lut[sem].astype(np.int64)
+        if y.max(initial=0) > self.num_classes:
+            raise ValueError(
+                f"{label_path}: mapped label {int(y.max())} exceeds "
+                f"num_classes={self.num_classes}"
+            )
+        return y
+
     def get_sample(self, rng: np.random.Generator, idx: Optional[int] = None):
         if idx is None or self.sample_per_epoch > 0:
             idx = int(rng.integers(len(self.filelist)))
         path = self.filelist[idx]
         points, remission = self.load_scan(path)
-        label_path = path.replace("velodyne", "labels").replace(
-            ".bin", ".label"
-        )
-        if os.path.exists(label_path):
-            sem, _ = self.load_labels(label_path)
-            y = (self.lut[sem] if self.lut is not None else sem).astype(
-                np.int64
-            )
-        else:
-            y = np.zeros(points.shape[0], np.int64)
+        y = self._frame_labels(path, points.shape[0])
         sel = fixed_size_choice(points.shape[0], self.num_points, rng)
         return {
             "pos": points[sel],

@@ -69,6 +69,10 @@ class Config:
     train_samples_per_epoch: int = 800
     val_samples_per_epoch: int = 800
     test_smooth: float = 0.95        # vote running-mean smoothing
+    # vote convergence: a vote round "counts" when the minimum
+    # possibility grew by this much (reference differentiates: +4 for
+    # Semantic3D trainval.py:194, +1 for S3DIS trainval.py:267)
+    vote_delta: float = 1.0
     # pyramid
     num_scales: int = 5
     kernel_sizes: Tuple[int, ...] = (16, 16, 16, 16, 16)
@@ -185,6 +189,7 @@ class Semantic3DConfig(Config):
     val_samples_per_epoch: int = 1600
     gamma: float = 0.1 ** 0.02
     test_smooth: float = 0.98
+    vote_delta: float = 4.0          # trainval.py:194
 
 
 @dataclasses.dataclass

@@ -489,7 +489,7 @@ class Trainer:
             self._vote_epoch(cfg.test_smooth)
             new_min = float(np.min(self.val_set.min_possibility))
             log.info("vote epoch %d, min possibility %.2f", epoch, new_min)
-            if last_min + 4 < new_min:
+            if last_min + cfg.vote_delta < new_min:
                 last_min = new_min
                 # dataset attribute names differ: Semantic3D exposes
                 # test_proj/val_files, S3DIS exposes val_proj/input_names
@@ -523,6 +523,7 @@ class Trainer:
             lambda: self._vote_epoch(self.cfg.test_smooth),
             self.test_probs,
             num_votes,
+            vote_delta=self.cfg.vote_delta,
         )
 
     def eval_partseg(self) -> dict:

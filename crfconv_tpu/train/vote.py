@@ -22,6 +22,7 @@ def labeled_vote_eval(
     vote_epoch_fn: Callable[[], None],
     test_probs: List[np.ndarray],
     num_votes: int = 100,
+    vote_delta: float = 1.0,
 ) -> dict:
     """Vote until coverage, then report sub-cloud IoU (with class-
     proportion rescaling, trainval.py:281-283) and re-projected
@@ -49,8 +50,8 @@ def labeled_vote_eval(
         vote_epoch_fn()
         new_min = float(np.min(ds.min_possibility))
         log.info("vote epoch %d, min possibility %.2f", epoch, new_min)
-        if last_min + 1 < new_min:
-            last_min += 1
+        if last_min + vote_delta < new_min:
+            last_min += vote_delta
             # sub-cloud confusion with class-proportion rescaling
             confs = []
             for i in range(len(ds.input_labels)):

@@ -315,8 +315,80 @@ class TestSemanticKITTI:
         s = ds.get_sample(np.random.default_rng(0))
         assert s["pos"].shape == (256, 3)
         assert s["x"].shape == (256, 4)
-        # without the yaml, labels pass through unmapped (sem values)
-        assert s["y"].max() < 20
+        # without the yaml the DEFAULT learning_map applies: raw labels
+        # always land in [0, 19] (0 = ignore), never pass through raw
+        assert ds.num_classes == 19
+        assert 0 <= s["y"].min() and s["y"].max() <= 19
+
+    def test_default_learning_map_semantics(self):
+        from crfconv_tpu.data.datasets.semantickitti import (
+            DEFAULT_LEARNING_MAP,
+            _build_lut,
+        )
+
+        lut = _build_lut(DEFAULT_LEARNING_MAP)
+        # spot-check the official mapping: car=1, road=9, moving-car
+        # folds to car, lane-marking folds to road, unlabeled/outlier=0
+        assert lut[10] == 1 and lut[252] == 1
+        assert lut[40] == 9 and lut[60] == 9
+        assert lut[0] == 0 and lut[1] == 0 and lut[99] == 0
+        assert lut.max() == 19
+        # every raw id NOT in the map is ignore (0)
+        assert lut[2] == 0 and lut[100] == 0
+
+    def test_out_of_range_raw_label_raises(self, tmp_path):
+        from crfconv_tpu.data.datasets import SemanticKITTIDataset
+
+        root = str(tmp_path)
+        seq = os.path.join(root, "raw", "sequences", "00")
+        os.makedirs(os.path.join(seq, "velodyne"))
+        os.makedirs(os.path.join(seq, "labels"))
+        scan = RNG.random((100, 4)).astype(np.float32)
+        scan.tofile(os.path.join(seq, "velodyne", "000000.bin"))
+        sem = np.full(100, 50000, np.uint32)  # beyond the LUT range
+        sem.tofile(os.path.join(seq, "labels", "000000.label"))
+        ds = SemanticKITTIDataset(root, sequences="train", num_points=64)
+        with pytest.raises(ValueError, match="learning_map range"):
+            ds.get_sample(np.random.default_rng(0))
+
+    def test_streaming_eval(self, tmp_path):
+        """Per-sequence streaming eval: full frames, per-seq + overall
+        confusion, perfect predictions -> mIoU 1 on labeled classes."""
+        from crfconv_tpu.data.datasets import SemanticKITTIDataset
+        from crfconv_tpu.train.kitti_eval import streaming_eval
+
+        root = str(tmp_path)
+        rng = np.random.default_rng(3)
+        for seq_id, nf in [("00", 2), ("01", 3)]:
+            seq = os.path.join(root, "raw", "sequences", seq_id)
+            os.makedirs(os.path.join(seq, "velodyne"))
+            os.makedirs(os.path.join(seq, "labels"))
+            for f_i in range(nf):
+                n = 200 + 10 * f_i
+                scan = rng.random((n, 4)).astype(np.float32)
+                scan.tofile(
+                    os.path.join(seq, "velodyne", f"{f_i:06d}.bin")
+                )
+                sem = rng.choice(
+                    [0, 10, 40, 48, 50], size=n
+                ).astype(np.uint32)
+                sem.tofile(os.path.join(seq, "labels", f"{f_i:06d}.label"))
+        ds = SemanticKITTIDataset(root, sequences="train", num_points=64)
+        assert ds.sequences == ["00", "01"]
+        assert len(ds.frames_of("01")) == 3
+        # frames come back in temporal order and full-size
+        fr = ds.get_frame(ds.frames_of("00")[1])
+        assert fr["pos"].shape[0] == 210 and fr["sequence"] == "00"
+
+        out = streaming_eval(ds, lambda frame: frame["y"] - 1)
+        assert set(out["per_sequence"]) == {"00", "01"}
+        assert out["overall"]["Mean IoU"] == pytest.approx(1.0)
+        assert out["per_sequence"]["01"]["num_frames"] == 3
+        # a constant-class predictor scores < 1
+        out2 = streaming_eval(
+            ds, lambda frame: np.zeros(frame["pos"].shape[0], np.int64)
+        )
+        assert out2["overall"]["Mean IoU"] < 1.0
 
 
 class TestShapeNet:

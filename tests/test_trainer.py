@@ -173,3 +173,47 @@ class TestPreemptResume:
         pre = {"flag": True}
         trainer.train_one_epoch(0, pre)
         assert pre.get("mid_epoch") is True
+
+
+class TestVoteDelta:
+    """Vote convergence delta is a config knob (reference +4 Semantic3D
+    trainval.py:194, +1 S3DIS trainval.py:267 — r3 hardcoded +4)."""
+
+    def test_config_defaults(self):
+        from crfconv_tpu.train.config import Semantic3DConfig, S3DISConfig
+
+        assert Semantic3DConfig().vote_delta == 4.0
+        assert S3DISConfig().vote_delta == 1.0
+
+    def test_labeled_vote_eval_respects_delta(self):
+        """With delta=4 a min-possibility growth of 2/round needs two
+        rounds before results are produced (last_min starts at -0.5, so
+        the bar is 3.5); with delta=1 one round suffices."""
+        from crfconv_tpu.train.vote import labeled_vote_eval
+
+        class FakeDS:
+            label_values = np.array([0, 1], np.int32)
+
+            def __init__(self):
+                n = 50
+                rng = np.random.default_rng(0)
+                self.input_labels = [rng.integers(0, 2, n)]
+                self.val_labels = self.input_labels
+                self.val_proj = [np.arange(n)]
+                self.min_possibility = np.array([0.0])
+
+        for delta, expect_epochs in [(1.0, 1), (4.0, 2)]:
+            ds = FakeDS()
+            probs = [np.zeros((50, 2), np.float32)]
+            calls = []
+
+            def vote(ds=ds, probs=probs, calls=calls):
+                calls.append(1)
+                ds.min_possibility += 2.0
+                probs[0][:, 0] = 1.0
+
+            res = labeled_vote_eval(
+                ds, vote, probs, num_votes=100, vote_delta=delta
+            )
+            assert "full_mIoU" in res
+            assert len(calls) == expect_epochs
