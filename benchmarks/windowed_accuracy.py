@@ -114,7 +114,8 @@ def edge_recall(tile, pad, seed=0):
     return float(rec)
 
 
-def run(mode, task, seed, tile=64, pad=128, knn_exact=True):
+def run(mode, task, seed, tile=64, pad=128, knn_exact=True,
+        jitter=False, views=1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -164,9 +165,12 @@ def run(mode, task, seed, tile=64, pad=128, knn_exact=True):
             example = build_windowed_batch(example, jax.random.PRNGKey(0))
         state = create_train_state(model, example, tx, seed=seed)
         tstep = jax.jit(
-            make_train_step(model, windowed=windowed), donate_argnums=(0,)
+            make_train_step(model, windowed=windowed, curve_jitter=jitter),
+            donate_argnums=(0,),
         )
-        estep = jax.jit(make_eval_step(model, windowed=windowed))
+        estep = jax.jit(
+            make_eval_step(model, windowed=windowed, eval_views=views)
+        )
 
         def val_miou(state):
             confusion = None
@@ -201,6 +205,59 @@ ARMS = [
     ("win-t64-p192", "windowed", 64, 192, True),
     ("win-t64-p128-packed", "windowed", 64, 128, False),
 ]
+
+# Round-4 arms (VERDICT r3 #1): train-time curve-orientation jitter and
+# eval-time orientation ensembling, at the packed production geometry.
+# (key, mode, tile, pad, knn_exact, jitter, views)
+ARMS_R4 = [
+    ("exact", "exact", 64, 128, True, False, 1),
+    ("win-packed", "windowed", 64, 128, False, False, 1),
+    ("win-jitter", "windowed", 64, 128, False, True, 1),
+    ("win-2view", "windowed", 64, 128, False, False, 2),
+    ("win-jitter-2view", "windowed", 64, 128, False, True, 2),
+]
+
+
+def main_r4(tasks=("slabs",)):
+    """Round-4 study: does jitter / 2-view eval close the cross-tile gap?
+
+    Runs the slabs task (the adversarial case; voronoi was already at
+    parity in r3) over the r4 arms and prints the same delta/CI summary.
+    """
+    import numpy as np
+
+    results = {}
+    for task in tasks:
+        for seed in SEEDS:
+            for key, mode, tile, pad, kx, jit_, views in ARMS_R4:
+                miou, epochs = run(
+                    mode, task, seed, tile, pad, kx,
+                    jitter=jit_, views=views,
+                )
+                results.setdefault(task, {}).setdefault(key, []).append(
+                    round(miou, 4)
+                )
+                print(
+                    f"# {task} seed {seed} {key}: best mIoU {miou:.4f} "
+                    f"(stopped after {epochs} epochs)",
+                    file=sys.stderr, flush=True,
+                )
+
+    out = {
+        "metric": "r4 windowed-fix arms vs exact BEST val mIoU "
+        f"({len(SEEDS)} seeds, early-stopped; jitter = train-time random "
+        "curve orientation, 2view = eval-time orientation ensemble)",
+        "results": results,
+    }
+    for task, arms in results.items():
+        for key, vals in arms.items():
+            if key == "exact":
+                continue
+            d = np.array(vals) - np.array(arms["exact"])
+            ci = 1.96 * d.std(ddof=1) / np.sqrt(len(d))
+            out[f"{task}:{key}:delta"] = round(float(d.mean()), 4)
+            out[f"{task}:{key}:ci95"] = round(float(ci), 4)
+    print(json.dumps(out))
 
 
 def main():
@@ -246,4 +303,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--r4" in sys.argv:
+        tasks = ("slabs", "voronoi") if "--all-tasks" in sys.argv else (
+            "slabs",
+        )
+        main_r4(tasks)
+    else:
+        main()

@@ -72,6 +72,60 @@ def morton_code(pos: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def morton_order(pos: jnp.ndarray) -> jnp.ndarray:
-    """Jittable argsort into Morton order along the point axis."""
+def morton_order(
+    pos: jnp.ndarray, rot: "jnp.ndarray | None" = None
+) -> jnp.ndarray:
+    """Jittable argsort into Morton order along the point axis.
+
+    ``rot`` ([3, 3]) rotates the coordinates used for CODING only — the
+    curve walks a rotated grid, moving its discontinuity planes, while
+    distances/gathers still see the true positions.  Two differently
+    rotated orderings have nearly uncorrelated window misses (union
+    recall 0.97 vs 0.86 single at t64-p128), which train-time jitter and
+    multi-view eval exploit (VERDICT r3 #1).
+    """
+    if rot is not None:
+        pos = pos @ rot.T
     return jnp.argsort(morton_code(pos), axis=-1).astype(jnp.int32)
+
+
+def _rot45() -> np.ndarray:
+    """The fixed second-view orientation: 45° about z then x.
+
+    Morton curve jumps happen at axis-aligned power-of-2 planes; a 45°
+    rotation puts the second view's jump planes oblique to the first's.
+    Measured union window recall (t64-p128, uniform 8192): 0.973 vs
+    0.860 for one view (see benchmarks/windowed_accuracy.py)."""
+    c = s = np.float32(np.sqrt(0.5))
+    rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    rx = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+    return rz @ rx
+
+
+def view_rotation(view: int) -> "jnp.ndarray | None":
+    """Fixed curve orientation for multi-view eval. View 0 = identity."""
+    if view == 0:
+        return None
+    base = _rot45()
+    # further views: compose with 90° z-rotations for decorrelated jumps
+    rz90 = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                    np.float32)
+    r = base
+    for _ in range(view - 1):
+        r = rz90 @ r
+    return jnp.asarray(r)
+
+
+def random_rotation(key: jax.Array) -> jnp.ndarray:
+    """Uniform random rotation matrix (SO(3), via normalized quaternion)."""
+    q = jax.random.normal(key, (4,), jnp.float32)
+    q = q / jnp.linalg.norm(q)
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        jnp.float32,
+    )

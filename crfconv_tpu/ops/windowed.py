@@ -312,6 +312,7 @@ def build_pyramid_windowed(
     key: Optional[jax.Array] = None,
     tile: int = TILE,
     pad: int = PAD,
+    curve_rot: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Tuple[ScaleData, ...]]:
     """Jittable windowed pyramid: Morton sort + per-scale in-window kNN.
 
@@ -320,12 +321,17 @@ def build_pyramid_windowed(
     Morton-ordered and every strided index in-window by construction,
     while remaining a uniform random ¼-rate subsample in expectation.
 
+    ``curve_rot`` ([3, 3], optional) rotates the coordinates fed to the
+    Morton CODE only: the curve (and hence the candidate windows) walks a
+    rotated grid while all distances and gathers see the true positions.
+    Used for train-time orientation jitter and multi-view eval.
+
     Returns (order, scales): `order` [B, N] is the Morton permutation the
     caller must apply to features/labels (pos is already applied).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    order = morton_order(pos)
+    order = morton_order(pos, rot=curve_rot)
     pos = jnp.take_along_axis(pos, order[..., None], axis=1)
 
     scales = []

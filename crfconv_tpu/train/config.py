@@ -93,6 +93,15 @@ class Config:
     # (False, default) measured accuracy-indistinguishable from exact
     # selection (Δ −0.79 vs −0.76pp, CI ±0.25) and 1.25× faster pyramid
     windowed_knn_exact: bool = False
+    # per-step random curve orientation at train time (windowed regime):
+    # decorrelates the window-miss pattern across steps so the model is
+    # robust to any single orientation's missing cross-tile edges
+    # (r4 accuracy study, benchmarks/windowed_accuracy.py)
+    curve_jitter: bool = False
+    # eval-time orientation ensembling (windowed regime): average softmax
+    # over this many fixed curve orientations (union window recall 0.97
+    # at 2 views vs 0.86 single) at eval_views × single-pass cost
+    eval_views: int = 1
     # compute dtype for model matmuls: 'float32' (parity) or 'bfloat16'
     compute_dtype: str = "float32"
     # eval-time microbatching: split each eval batch into chunks of this

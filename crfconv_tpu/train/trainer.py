@@ -223,6 +223,7 @@ class Trainer:
             make_train_step(
                 self.model, cw, cfg.ignore_index, cfg.label_offset,
                 windowed=windowed,
+                curve_jitter=windowed and getattr(cfg, "curve_jitter", False),
             ),
             donate_argnums=(0,),
         )
@@ -230,6 +231,7 @@ class Trainer:
             make_eval_step(
                 self.model, cw, cfg.ignore_index, cfg.label_offset,
                 windowed=windowed,
+                eval_views=getattr(cfg, "eval_views", 1) if windowed else 1,
             )
         )
 
