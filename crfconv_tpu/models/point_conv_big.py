@@ -72,19 +72,37 @@ class PointConv(nn.Module):
 
             w0, a0, c0 = fold(v0p, v0s)
             w1, a1, c1 = fold(v1p, v1s)
-            if extra is None:
+
+            from crfconv_tpu.ops import spatial_state
+
+            if spatial_state.current() is not None:
+                # point-sharded forward: run the same kernel on the
+                # halo-extended frame (exact; parallel/spatial_forward)
+                from crfconv_tpu.parallel.spatial_forward import (
+                    spatial_point_conv_fused,
+                )
+
+                out = spatial_point_conv_fused(
+                    x, pos, sub_pos, neighbor_idx, extra,
+                    (w0, a0, c0, w1, a1, c1),
+                    tile=mode["tile"], pad=mode["pad"],
+                )
+                if out is not None:
+                    return out
+                # infeasible halo → fall through to the unfused funnel
+            elif extra is None:
                 return conv_pallas.point_conv_fused_infer(
                     x, pos, neighbor_idx, w0, a0, c0, w1, a1, c1,
                     tile=mode["tile"], pad=mode["pad"],
                     interpret=conv_pallas.FUSED_INTERPRET,
                 )
-            out, res_max = conv_pallas.point_conv_fused_strided(
-                x, pos, sub_pos, neighbor_idx, extra,
-                w0, a0, c0, w1, a1, c1,
-                tile=mode["tile"], pad=mode["pad"],
-                interpret=conv_pallas.FUSED_INTERPRET,
-            )
-            return out, res_max
+            else:
+                return conv_pallas.point_conv_fused_strided(
+                    x, pos, sub_pos, neighbor_idx, extra,
+                    w0, a0, c0, w1, a1, c1,
+                    tile=mode["tile"], pad=mode["pad"],
+                    interpret=conv_pallas.FUSED_INTERPRET,
+                )
 
         # One fused gather for [pos, x(, extra)]: TPU gather cost is bound
         # by the index count, not the row width, so widening the gathered

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from crfconv_tpu.ops.pallas_vma import pallas_call as vma_pallas_call
+
 # Widest hidden dim routed to the fused kernel.  Armed at 32 by the
 # hardware A/B (benchmarks/conv_fused_bench.py, TPU v5e, r3): the fused
 # kernel wins at every measured shape — sem3d-scale0 22.6→5.4 ms
@@ -54,12 +56,11 @@ def fused_eligible(train, sub_pos, extra, hidden, n_rows, k, mode) -> bool:
         return False
     if mode["mode"] != "windowed" or hidden > FUSED_MAX_H:
         return False
-    from crfconv_tpu.ops import spatial_state
-
-    if spatial_state.current() is not None:
-        # the fused kernel gathers internally (bypassing the spatial
-        # halo funnel); a spatial variant is future work
-        return False
+    # Under a spatial (point-sharded) context the caller routes through
+    # parallel.spatial_forward.spatial_point_conv_fused, which runs this
+    # same kernel on the halo-extended frame (exact by the affine window
+    # geometry) and falls back to the unfused funnel when the halo is
+    # infeasible for the frame.
     p = max(128 // mode["tile"], 1)
     if k % p != 0 or n_rows < FUSED_MIN_ROWS:
         return False
@@ -240,7 +241,11 @@ def point_conv_fused_strided(
     interpret: bool = False,
     slope: float = 0.1,
 ):
-    """Strided fused point conv: returns (out [B, M, H], res_max [B, M, R])."""
+    """Strided fused point conv: returns (out [B, M, H], res_max [B, M, R]).
+
+    Runs unchanged inside a shard_map (the spatial forward): the
+    pallas_vma wrapper infers the output's varying axes from the
+    operands and pvary's the replicated constants."""
     from crfconv_tpu.ops.windowed import _pad_src, window_starts
 
     B, N, H = x.shape
@@ -303,7 +308,7 @@ def point_conv_fused_strided(
     aff = aff.at[2, :H].set(a1.astype(jnp.float32))
     aff = aff.at[3, :H].set(c1.astype(jnp.float32))
 
-    out = pl.pallas_call(
+    out = vma_pallas_call(
         functools.partial(
             _kernel_conv_strided, width2=width2, tile=tile, k_cols=K,
             h8=h8, r8=r8, f8=f8, nt=nt, nb=B, p=p, nchunk=nchunk,
@@ -427,7 +432,7 @@ def point_conv_fused_infer(
     aff = aff.at[2, :H].set(a1.astype(jnp.float32))
     aff = aff.at[3, :H].set(c1.astype(jnp.float32))
 
-    out = pl.pallas_call(
+    out = vma_pallas_call(
         functools.partial(
             _kernel_conv, width2=width2, tile=tile, k_cols=K, h8=h8a,
             f8=f8, nt=nt, nb=B, p=p, nchunk=nchunk, slope=slope,

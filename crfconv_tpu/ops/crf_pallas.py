@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from crfconv_tpu.ops.pallas_vma import pallas_call as vma_pallas_call
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -178,7 +180,7 @@ def _banded_setup(weights, idx, N, tile, pad, interpret):
     relT = jnp.swapaxes(rel, 2, 3)                       # [B, nt, K, tf]
     wT = jnp.swapaxes(w_p.reshape(B, nt, tf, K), 2, 3)
 
-    a_hi, a_lo = pl.pallas_call(
+    a_hi, a_lo = vma_pallas_call(
         functools.partial(_build_at_kernel, w=w, tile=tf, k_cols=K),
         grid=(B, nt),
         in_specs=[
@@ -307,7 +309,7 @@ def _run_core(z, zp, s, idx, M, steps, tile, pad, interpret, save_stack):
         pltpu.SemaphoreType.DMA,
     ]
     if save_stack:
-        out, stackT = pl.pallas_call(
+        out, stackT = vma_pallas_call(
             functools.partial(_iterate_stack_kernel, **kw),
             grid=(B,),
             in_specs=in_specs,
@@ -323,7 +325,7 @@ def _run_core(z, zp, s, idx, M, steps, tile, pad, interpret, save_stack):
             interpret=interpret,
         )(zT, zpT, a_hi, a_lo, mt)
     else:
-        out = pl.pallas_call(
+        out = vma_pallas_call(
             functools.partial(_iterate_kernel, **kw),
             grid=(B,),
             in_specs=in_specs,
@@ -422,7 +424,7 @@ def _crf_core_bwd(steps, tile, pad, interpret, res, g):
     )
     gT = _to_t(g, front, npad, hp)
 
-    lstackT, dzT, dzpT, dm = pl.pallas_call(
+    lstackT, dzT, dzpT, dm = vma_pallas_call(
         functools.partial(
             _bwd_iterate_kernel,
             steps=steps, nt=nt, w=w, front=front, hp=hp, npad=npad,
@@ -720,7 +722,7 @@ def _run_discrete_core(p, unary, wgt, idx, compat, steps, tile, pad,
         pltpu.SemaphoreType.DMA,
     ]
     if save_stack:
-        out, qstackT, msgstackT = pl.pallas_call(
+        out, qstackT, msgstackT = vma_pallas_call(
             functools.partial(_iterate_discrete_stack_kernel, **kw),
             grid=(B,),
             in_specs=in_specs,
@@ -739,7 +741,7 @@ def _run_discrete_core(p, unary, wgt, idx, compat, steps, tile, pad,
             interpret=interpret,
         )(pT, uT, a_hi, a_lo, ct)
     else:
-        out = pl.pallas_call(
+        out = vma_pallas_call(
             functools.partial(_iterate_discrete_kernel, **kw),
             grid=(B,),
             in_specs=in_specs,
@@ -847,7 +849,7 @@ def _banded_setup_rows(weights, idx, N, tile, pad, interpret):
         weights.astype(jnp.float32), ((0, 0), (0, mpad), (0, 0))
     ).reshape(B, nt, tf, K)
 
-    a_hi, a_lo = pl.pallas_call(
+    a_hi, a_lo = vma_pallas_call(
         functools.partial(_build_a_row_kernel, w=w, tile=tf, k_cols=K),
         grid=(B, nt),
         in_specs=[
@@ -1159,7 +1161,7 @@ def banded_neighbor_dot(
     """
     B, nt, tf, K = rel.shape
     D = a_nd.shape[-1]
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(_nbr_dot_kernel, w=w, k_cols=K, d=D),
         grid=(B, nt),
         in_specs=[
@@ -1404,7 +1406,7 @@ def _discrete_core_bwd(steps, tile, pad, interpret, res, g):
     )
     gT = _to_t_fill(g, front, npad, lp, 0.0)
 
-    dmsgstackT, dpT, duT, dc = pl.pallas_call(
+    dmsgstackT, dpT, duT, dc = vma_pallas_call(
         functools.partial(
             _bwd_discrete_kernel,
             steps=steps, nt=nt, w=w, front=front, lp=lp, npad=npad,

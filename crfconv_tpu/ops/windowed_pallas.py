@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from crfconv_tpu.ops.pallas_vma import pallas_call as vma_pallas_call
+
 LARGE_M = 4096   # output-row threshold between the two kernel bodies
 V3_MAX_F = 0     # widest F routed to the v3 lane-gather body.  Stays 0:
                  # the r3 hardware A/B (results_gather_bodies_r3.json)
@@ -293,7 +295,7 @@ def select_min_k(
     """
     B, nt, rows, width = d.shape
     assert exact or width <= 1024
-    return pl.pallas_call(
+    return vma_pallas_call(
         functools.partial(
             _select_k_kernel if exact else _select_k_packed_kernel,
             width=width, rows=rows, k=k,
@@ -405,7 +407,7 @@ def windowed_gather_bwd_pallas(
         0, width - 1,
     ).reshape(B, nt, 1, tile * K)
 
-    wg = pl.pallas_call(
+    wg = vma_pallas_call(
         functools.partial(
             _bwd_kernel, width=width, tile=tile, k_cols=K, feat=F
         ),
@@ -579,7 +581,7 @@ def windowed_gather_pallas(
             win_scratch = pltpu.VMEM((width, f_pad), jnp.float32)
             sem_scratch = pltpu.SemaphoreType.DMA
 
-    out = pl.pallas_call(
+    out = vma_pallas_call(
         kernel,
         grid=(B, nt),
         in_specs=[
@@ -733,7 +735,7 @@ def window_knn_pallas(
     )                                                    # [B, 8, NP]
 
     starts_j = jnp.asarray(starts, jnp.int32)
-    idx = pl.pallas_call(
+    idx = vma_pallas_call(
         functools.partial(
             _knn_kernel,
             width=width, rows=tile, k=k, front=front, tile=tile,

@@ -12,8 +12,10 @@ neighbor op to a halo-exchange implementation:
     guidance) becomes exchange → gather-on-extended-frame → trim.
   * ``crf_mean_field`` becomes the chunked halo iteration of
     crf_mean_field_spatial (same code path, reused).
-  * the fused point-conv kernel dispatch is disabled (it gathers
-    internally; a spatial variant is future work).
+  * the fused point-conv kernel runs per-device on the halo-extended
+    frame (``spatial_point_conv_fused``) — exact by the affine window
+    geometry, so the 3.2-4.2× single-chip kernel win carries over to
+    the sharded forward (VERDICT r3 #3).
 
 Correctness rests on the window geometry being affine
 (ops/windowed.window_starts: starts[t] = round(t·tile·stride)//8·8 with
@@ -168,6 +170,94 @@ def spatial_gather(x, idx, tile: int, pad: int):
         return out[:, h_t:-h_t]
 
 
+def spatial_point_conv_fused(
+    x, pos, sub_pos, idx, extra, folded, tile: int, pad: int
+):
+    """Point-sharded fused point-conv: exchange → fused kernel on the
+    extended frame → trim (VERDICT r3 #3; retires the start-shift note).
+
+    The affine window geometry makes this exact with NO kernel change:
+    extending both frames proportionally (source by h_s = h_t·stride)
+    translates every window start by exactly the frame offset —
+    ``window_starts(lt + 2h_t, ls + 2h_s)`` restricted to the kept
+    center rows reproduces the global geometry, because tile·stride is
+    a multiple of the 8-row alignment.  So the same Pallas kernel that
+    wins 3.2-4.2× on one chip runs per-device under shard_map on the
+    halo-extended arrays, and only the trimmed halo rows differ.
+
+    Returns the conv output (and the strided residual rider) trimmed to
+    local rows, or ``None`` when the halo is infeasible for this frame —
+    the caller then falls back to the unfused spatial gather funnel.
+    """
+    from crfconv_tpu.ops import conv_pallas
+    from crfconv_tpu.parallel.spatial import _exchange_halo
+
+    ctx = spatial_state.current()
+    assert ctx is not None
+    ax, ndev = ctx["axis"], ctx["ndev"]
+    src_sh, ns_g = _frame(ctx, x.shape[1], "fused conv source")
+    tgt_sh, nt_g = _frame(ctx, idx.shape[1], "fused conv target")
+    w0, a0, c0, w1, a1, c1 = folded
+
+    def run(x_, pos_, sub_pos_, idx_, extra_):
+        if extra_ is None:
+            return conv_pallas.point_conv_fused_infer(
+                x_, pos_, idx_, w0, a0, c0, w1, a1, c1,
+                tile=tile, pad=pad, interpret=conv_pallas.FUSED_INTERPRET,
+            )
+        return conv_pallas.point_conv_fused_strided(
+            x_, pos_, sub_pos_, idx_, extra_, w0, a0, c0, w1, a1, c1,
+            tile=tile, pad=pad, interpret=conv_pallas.FUSED_INTERPRET,
+        )
+
+    with spatial_state.suspend():
+        if not tgt_sh:
+            if src_sh:  # replicated target from sharded source
+                x = _all_gather_replicated(x, ax)
+                pos = _all_gather_replicated(pos, ax)
+                if extra is not None:
+                    extra = _all_gather_replicated(extra, ax)
+            return run(x, pos, sub_pos, idx, extra)
+
+        lt = idx.shape[1]
+        h_t, h_s = _halo_pair(nt_g, ns_g, tile, pad)
+        ls_local = ns_g // ndev
+        feasible = (
+            h_t <= lt
+            and ns_g % ndev == 0
+            and (not src_sh or h_s <= ls_local)
+        )
+        if not feasible:
+            return None  # unfused funnel handles the whole-op fallback
+
+        dev = jax.lax.axis_index(ax)
+        if src_sh:
+            ex_s = lambda a: _exchange_halo(a, h_s, ax)
+        else:
+            def ex_s(a):
+                ap = jnp.pad(
+                    a, ((0, 0), (h_s, h_s)) + ((0, 0),) * (a.ndim - 2)
+                )
+                return jax.lax.dynamic_slice_in_dim(
+                    ap, dev * ls_local, ls_local + 2 * h_s, axis=1
+                )
+
+        x_e, pos_e = ex_s(x), ex_s(pos)
+        extra_e = None if extra is None else ex_s(extra)
+        offset = dev * ls_local - h_s
+        idx_e = jnp.clip(
+            _exchange_halo(idx, h_t, ax) - offset, 0, ls_local + 2 * h_s - 1
+        ).astype(jnp.int32)
+        sub_pos_e = (
+            None if sub_pos is None else _exchange_halo(sub_pos, h_t, ax)
+        )
+        out = run(x_e, pos_e, sub_pos_e, idx_e, extra_e)
+        if extra is None:
+            return out[:, h_t:-h_t]
+        o, r = out
+        return o[:, h_t:-h_t], r[:, h_t:-h_t]
+
+
 def crf_mean_field_ctx(z, s, neighbor_idx, c, steps, neighbors0, allow_fused):
     """ctx-aware continuous CRF mean field (hooked from ops.crf)."""
     from crfconv_tpu.ops.crf import crf_mean_field
@@ -248,8 +338,16 @@ def make_spatial_forward(
     axis: str = "data",
     tile: Optional[int] = None,
     pad: Optional[int] = None,
+    check_vma: bool = True,
 ):
     """Build a jitted, point-sharded eval forward for an unmodified model.
+
+    ``check_vma=False`` disables shard_map's varying-manual-axes type
+    checking.  ONLY safe here because this is a pure eval forward (no
+    AD — the known check_vma=False hazard is silent psum
+    mis-differentiation, see parallel/spatial_train.py); needed for
+    interpret-mode Pallas kernels on the CPU test mesh, whose
+    interpreter mixes unvarying loop counters into the kernel jaxpr.
 
     Returns ``(fn, info)``: ``fn(variables, batch) -> logits`` runs
     ``model.apply(variables, batch, train=False)`` inside a shard_map
@@ -296,6 +394,7 @@ def make_spatial_forward(
         mesh=mesh,
         in_specs=(P(), batch_specs),
         out_specs=out_spec,
+        check_vma=check_vma,
     )
     fn = jax.jit(mapped)
 
