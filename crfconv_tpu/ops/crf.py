@@ -72,12 +72,16 @@ def _crf_scan(
     steps: int,
     neighbors0: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
+    msg0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """XLA lax.scan implementation of the mean-field loop (reference
     math, one gather per step).  Differentiable; also serves as the
     backward path of the fused kernel.  ``x0`` restarts the recurrence
     from a prior state (chunked halo exchange, parallel/spatial.py);
-    the per-step unary stays z."""
+    the per-step unary stays z.  ``msg0`` is the PRE-REDUCED first
+    message Σ_k s·z_k (from the fused similarity kernel,
+    ops/crf_sim_pallas.py) — the first step then needs no gather and no
+    K-reduction at all."""
     h = z.shape[-1]
     C = jnp.dot(c.T, c, precision=jax.lax.Precision.HIGHEST)
     inv = _spd_inverse(jnp.eye(h, dtype=C.dtype) + C)
@@ -89,17 +93,23 @@ def _crf_scan(
     # drop to bf16 MXU passes and break parity with the reference).
     hp = jax.lax.Precision.HIGHEST
 
-    def update(x, msg):
-        msg = jnp.einsum("bnk,bnkh->bnh", s, msg, precision=hp)
+    def apply(msg):
         x = z + jnp.dot(msg, C, precision=hp)                 # compatibility
         return jnp.dot(x, inv, precision=hp)                  # normalization
+
+    def update(x, neigh):
+        msg = jnp.einsum("bnk,bnkh->bnh", s, neigh, precision=hp)
+        return apply(msg)
 
     def body(x, _):
         return update(x, gather_neighbors(x, neighbor_idx)), None
 
     x = z if x0 is None else x0
     remaining = steps
-    if neighbors0 is not None and steps > 0:
+    if msg0 is not None and steps > 0:
+        x = apply(msg0.astype(z.dtype))
+        remaining = steps - 1
+    elif neighbors0 is not None and steps > 0:
         x = update(x, neighbors0)
         remaining = steps - 1
     x, _ = jax.lax.scan(body, x, None, length=remaining)
@@ -182,6 +192,7 @@ def crf_mean_field(
     neighbors0: Optional[jnp.ndarray] = None,
     allow_fused: bool = False,
     x0: Optional[jnp.ndarray] = None,
+    msg0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run ``steps`` mean-field iterations of the continuous Gaussian CRF.
 
@@ -225,10 +236,14 @@ def crf_mean_field(
 
     mode = get_neighbor_mode()
     if allow_fused and _fused_ok(z.shape[1], z.shape[2], steps, mode):
+        # the fused core re-derives every message from the banded A
+        # built out of s; a precomputed msg0 is unused there
         return _crf_fused(
             z, s, neighbor_idx, c, steps, mode["tile"], mode["pad"], x0
         )
-    return _crf_scan_jit(z, s, neighbor_idx, c, steps, neighbors0, x0)
+    return _crf_scan_jit(
+        z, s, neighbor_idx, c, steps, neighbors0, x0, msg0
+    )
 
 
 def discrete_crf_update(
