@@ -268,6 +268,24 @@ def main():
         vs = value / baseline
     except Exception:
         vs = None
+    # all-five BASELINE.json config rows (VERDICT r3 #2), embedded in the
+    # same single JSON line.  Torch baselines come from the committed
+    # cache (benchmarks/torch_baseline_configs.json); TPU numbers are
+    # re-measured here.
+    configs = None
+    if not os.environ.get("CRFCONV_BENCH_HEADLINE_ONLY"):
+        try:
+            sys.path.insert(
+                0,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "benchmarks"
+                ),
+            )
+            from config_bench import measure_all
+
+            configs = measure_all()
+        except Exception as e:
+            print(f"# config rows failed: {e!r}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -276,6 +294,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "points/sec/chip",
                 "vs_baseline": None if vs is None else round(vs, 2),
+                **({"configs": configs} if configs else {}),
             }
         )
     )

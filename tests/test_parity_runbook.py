@@ -3,8 +3,10 @@ the moment real S3DIS data is mounted, `python -m crfconv_tpu.parity
 --root ...` is one checked command away from the ±0.3 mIoU claim."""
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_dry_run_end_to_end(tmp_path):
     from crfconv_tpu.parity import run_parity
 

@@ -17,9 +17,11 @@ from crfconv_tpu.ops.neighbors import neighbor_mode
 from crfconv_tpu.ops.windowed import build_pyramid_windowed
 from crfconv_tpu.parallel import make_mesh
 from crfconv_tpu.parallel.spatial_build import build_pyramid_windowed_spatial
+import pytest
 
 
 class TestSpatialBuild:
+    @pytest.mark.slow
     def test_matches_unsharded_bitwise(self):
         mesh = make_mesh(8)
         rng = np.random.default_rng(0)
@@ -50,6 +52,7 @@ class TestSpatialBuild:
                 err_msg=f"up_idx s{s}",
             )
 
+    @pytest.mark.slow
     def test_end_to_end_sharded_serving(self):
         """sorted positions → sharded pyramid → sharded forward: logits
         must match the fully-unsharded windowed pipeline."""
@@ -88,6 +91,7 @@ class TestSpatialBuild:
             np.asarray(out), np.asarray(ref), rtol=0, atol=2e-5
         )
 
+    @pytest.mark.slow
     def test_sharded_placement(self):
         mesh = make_mesh(8)
         rng = np.random.default_rng(1)

@@ -19,6 +19,7 @@ from crfconv_tpu.ops.windowed import build_pyramid_windowed
 from crfconv_tpu.parallel import make_mesh
 from crfconv_tpu.parallel.spatial_train import make_spatial_train_step
 from crfconv_tpu.train.train_state import (
+import pytest
     create_train_state,
     make_optimizer,
     make_train_step,
@@ -37,6 +38,7 @@ def _batch(b, n, c_in, n_classes, seed=0):
 
 
 class TestSpatialTrain:
+    @pytest.mark.slow
     def test_step_matches_unsharded(self):
         mesh = make_mesh(8)
         n_classes = 5
