@@ -96,7 +96,15 @@ class MaskedBatchNorm(nn.Module):
             if ctx is not None and x.ndim >= 2:
                 fr = ctx["frames"].get(x.shape[1])
                 if fr is not None and fr[0]:
-                    spatial_axis = ctx["axis"]
+                    # stat_axes ⊇ axis: under a 2-D (data × points) mesh
+                    # the batch dim is also device-split, so statistics
+                    # reduce over both axes (psum takes a name tuple)
+                    spatial_axis = ctx.get("stat_axes", ctx["axis"])
+                elif ctx.get("data_axis") is not None:
+                    # replicated point frame, but the BATCH dim is still
+                    # device-split on the data axis — stats must reduce
+                    # over it to match the unsharded step
+                    spatial_axis = (ctx["data_axis"],)
 
         if train:
             # statistics at least f32; f64 inputs (x64 parity tests) keep f64

@@ -102,6 +102,16 @@ class Config:
     # over this many fixed curve orientations (union window recall 0.97
     # at 2 views vs 0.86 single) at eval_views × single-pass cost
     eval_views: int = 1
+    # encoder channel plan override for the big family (None = the
+    # reference plan 32/64/128/256/512); small values make CPU tests and
+    # scaled-down ablations cheap
+    layers: Optional[Tuple[int, ...]] = None
+    # 2-D (data × points) mesh for training (windowed regime):
+    # (data_devices, point_devices).  Batch shards over the first axis,
+    # the point dim over the second with halo exchange — batch-parallel ×
+    # point-sharded training for clouds larger than one chip
+    # (parallel/spatial_train.py).  None = single-device or 1-D DP.
+    spatial_mesh: Optional[Tuple[int, int]] = None
     # compute dtype for model matmuls: 'float32' (parity) or 'bfloat16'
     compute_dtype: str = "float32"
     # eval-time microbatching: split each eval batch into chunks of this

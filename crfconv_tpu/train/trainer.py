@@ -182,6 +182,8 @@ class Trainer:
         model_kw = dict(n_classes=cfg.num_classes)
         if cfg.model_name in ("PointConvBig", "PointConvResNet"):
             model_kw.update(use_crf=cfg.use_crf, steps=cfg.steps)
+            if getattr(cfg, "layers", None):
+                model_kw.update(layers=tuple(cfg.layers))
         elif cfg.model_name != "BaselineSegNet":
             model_kw.update(steps=cfg.steps)
         self.model = get_model(cfg.model_name, **model_kw)
@@ -236,7 +238,14 @@ class Trainer:
         )
 
         self.mesh = None
-        if n_devices is not None and n_devices > 1:
+        if windowed and getattr(cfg, "spatial_mesh", None):
+            # 2-D (data × points) mesh: batch-parallel × point-sharded
+            # training (VERDICT r3 #8).  The train step sorts each raw
+            # batch, builds the pyramid SHARDED (spatial_build), and
+            # steps through make_spatial_train_step; eval keeps the
+            # single-chip path on the replicated state.
+            self._train_step = self._make_spatial_mesh_step(cw, example)
+        elif n_devices is not None and n_devices > 1:
             self.mesh = make_mesh(n_devices)
             self.state = replicate(self.state, self.mesh)
 
@@ -247,6 +256,57 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
+    def _make_spatial_mesh_step(self, cw, example):
+        """Train step for the 2-D (data × points) mesh: RawBatch in →
+        Morton sort → SHARDED pyramid build → point-sharded train step
+        with the batch dim data-parallel."""
+        from jax.sharding import Mesh
+
+        from crfconv_tpu.data.batch import PointBatch
+        from crfconv_tpu.ops.morton import morton_order
+        from crfconv_tpu.parallel.spatial_build import (
+            build_pyramid_windowed_spatial,
+        )
+        from crfconv_tpu.parallel.spatial_train import make_spatial_train_step
+
+        cfg = self.cfg
+        d_data, d_pts = cfg.spatial_mesh
+        devs = np.array(jax.devices()[: d_data * d_pts]).reshape(
+            d_data, d_pts
+        )
+        self.mesh2d = mesh = Mesh(devs, ("data", "points"))
+        sp_step = make_spatial_train_step(
+            self.model, mesh, example, cw, cfg.ignore_index,
+            cfg.label_offset, axis="points", data_axis="data",
+        )
+
+        def take(a, order):
+            if a is None:
+                return None
+            return jnp.take_along_axis(
+                a if a.ndim == 3 else a[..., None], order[..., None], axis=1
+            ).reshape(a.shape)
+
+        def step(state, raw, rng):
+            rng, pk = jax.random.split(rng)
+            order = morton_order(raw.pos)
+            pos_s = jnp.take_along_axis(raw.pos, order[..., None], axis=1)
+            scales = build_pyramid_windowed_spatial(
+                pos_s, mesh, cfg.kernel_sizes, cfg.ratios,
+                k_up=cfg.k_up, key=pk, axis="points",
+            )
+            batch = PointBatch(
+                x=take(raw.x, order),
+                y=take(raw.y, order),
+                scales=scales,
+                point_idx=take(raw.point_idx, order),
+                cloud_idx=raw.cloud_idx,
+                category=raw.category,
+            )
+            return sp_step(state, batch, rng)
+
+        return step
+
     def _place(self, batch):
         if self.mesh is None:
             return batch

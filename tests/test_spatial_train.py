@@ -18,8 +18,9 @@ from crfconv_tpu.ops.neighbors import neighbor_mode
 from crfconv_tpu.ops.windowed import build_pyramid_windowed
 from crfconv_tpu.parallel import make_mesh
 from crfconv_tpu.parallel.spatial_train import make_spatial_train_step
-from crfconv_tpu.train.train_state import (
 import pytest
+
+from crfconv_tpu.train.train_state import (
     create_train_state,
     make_optimizer,
     make_train_step,
@@ -35,6 +36,62 @@ def _batch(b, n, c_in, n_classes, seed=0):
     x = jnp.take_along_axis(feats, order[..., None], axis=1)
     y = jnp.take_along_axis(y, order, axis=1)
     return PointBatch(x=x, y=y, scales=scales)
+
+
+class TestSpatialTrain2D:
+    def test_dp_x_spatial_matches_unsharded(self):
+        """DATA × POINT 2-D mesh (VERDICT r3 #8): batch sharded over 4
+        devices, points over 2.  Loss must match the unsharded step
+        exactly; params + BN running stats to reduction-order noise.
+        N=8192 over 2 point-devices shards scales 0 and 1."""
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices()[:8]).reshape(4, 2)
+        mesh = Mesh(devs, ("data", "points"))
+        n_classes = 5
+        model = PointConvResNet(
+            n_classes=n_classes, use_crf=True, steps=1,
+            layers=(8, 16, 32, 64, 128), dropout_rate=0.0,
+        )
+        with neighbor_mode("windowed"):
+            batch = _batch(4, 8192, 4, n_classes)
+            tx = make_optimizer(lr=0.05, steps_per_epoch=10)
+            state_ref = create_train_state(model, batch, tx, seed=0)
+            state_sp = create_train_state(model, batch, tx, seed=0)
+
+            ref_step = jax.jit(make_train_step(model))
+            sp_step = make_spatial_train_step(
+                model, mesh, batch, axis="points", data_axis="data"
+            )
+
+            for i in range(2):
+                rng = jax.random.PRNGKey(20 + i)
+                state_ref, m_ref = ref_step(state_ref, batch, rng)
+                state_sp, m_sp = sp_step(state_sp, batch, rng)
+                np.testing.assert_allclose(
+                    float(m_sp["loss"]), float(m_ref["loss"]),
+                    rtol=1e-5, err_msg=f"loss step {i}",
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(m_sp["confusion"]),
+                    np.asarray(m_ref["confusion"]),
+                    err_msg=f"confusion step {i}",
+                )
+
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state_ref.params),
+                jax.tree_util.tree_leaves(state_sp.params),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+                )
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state_ref.batch_stats),
+                jax.tree_util.tree_leaves(state_sp.batch_stats),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+                )
 
 
 class TestSpatialTrain:

@@ -217,3 +217,36 @@ class TestVoteDelta:
             )
             assert "full_mIoU" in res
             assert len(calls) == expect_epochs
+
+
+class TestSpatialMeshTrainer:
+    def test_spatial_mesh_train_epoch(self, tmp_path_factory):
+        """Trainer wiring for the 2-D (data × points) mesh
+        (cfg.spatial_mesh): one epoch runs, loss is finite, and the
+        sharded-pyramid spatial step is actually selected."""
+        from crfconv_tpu.train.config import S3DISConfig
+        from tests.test_data import _make_s3dis_raw
+
+        root = str(tmp_path_factory.mktemp("s3dis_sp"))
+        _make_s3dis_raw(root, n_rooms=2, n_pts=600)
+        cfg = S3DISConfig(
+            root=root,
+            mode="train",
+            use_crf=True,
+            steps=1,
+            grid_size=0.2,
+            sample_num=4096,
+            batch_size=2,
+            epochs=1,
+            train_samples_per_epoch=2,
+            val_samples_per_epoch=2,
+            neighbor_regime="windowed",
+            spatial_mesh=(2, 2),
+            layers=(8, 16, 32, 64, 128),
+            checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_sp")),
+        )
+        trainer = Trainer(cfg, seed=0)
+        assert hasattr(trainer, "mesh2d")
+        assert trainer.mesh2d.shape == {"data": 2, "points": 2}
+        out = trainer.train_one_epoch(0)
+        assert np.isfinite(out["loss"])
