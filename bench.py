@@ -48,8 +48,14 @@ IN_CHANNELS = 6
 N_CLASSES = 13
 
 
-def measure_jax(mode: str = "windowed") -> float:
-    """points/sec for pyramid build + forward, single chip."""
+def measure_jax(mode: str = "windowed", views: int = 1) -> float:
+    """points/sec for pyramid build + forward, single chip.
+
+    ``views > 1`` measures the orientation-ensembled eval (windowed
+    only): ``views`` pyramid builds + forwards per step, softmax
+    averaged — the accuracy-grade serving configuration (r4 study:
+    2-view eval beats the exact regime by +0.66±0.29pp on cross-tile
+    structure at 2× single-pass cost)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -57,6 +63,7 @@ def measure_jax(mode: str = "windowed") -> float:
     from crfconv_tpu.data.batch import PointBatch
     from crfconv_tpu.data.pipeline import build_pyramid_jax
     from crfconv_tpu.models import PointConvResNet
+    from crfconv_tpu.ops.morton import view_rotation
     from crfconv_tpu.ops.neighbors import neighbor_mode
     from crfconv_tpu.ops.windowed import build_pyramid_windowed
     from crfconv_tpu.utils import device_time
@@ -88,19 +95,38 @@ def measure_jax(mode: str = "windowed") -> float:
             train=False,
         )
 
-        def step(carry):
-            p, key = carry
-            key, sub = jax.random.split(key)
-            if mode == "windowed":
-                order, scales = build_pyramid_windowed(p, key=sub)
-                x = jnp.take_along_axis(feats, order[..., None], axis=1)
-            else:
-                scales = build_pyramid_jax(p, key=sub)
-                x = feats
+        def one_view(p, sub, rot):
+            order, scales = build_pyramid_windowed(
+                p, key=sub, curve_rot=rot
+            )
+            x = jnp.take_along_axis(feats, order[..., None], axis=1)
             out = model.apply(
                 variables, PointBatch(x=x, y=None, scales=scales),
                 train=False,
             )
+            if views == 1:
+                return out
+            # un-permute to raw order for the ensemble average
+            b_ix = jnp.arange(out.shape[0], dtype=jnp.int32)[:, None]
+            probs = jax.nn.softmax(out, axis=-1)
+            return jnp.zeros_like(probs).at[b_ix, order].set(
+                probs, mode="promise_in_bounds"
+            )
+
+        def step(carry):
+            p, key = carry
+            key, sub = jax.random.split(key)
+            if mode == "windowed":
+                out = one_view(p, sub, None)
+                for v in range(1, views):
+                    out = out + one_view(p, sub, view_rotation(v))
+            else:
+                scales = build_pyramid_jax(p, key=sub)
+                out = model.apply(
+                    variables,
+                    PointBatch(x=feats, y=None, scales=scales),
+                    train=False,
+                )
             # carry a dependency so iterations cannot be elided
             return (p + 1e-9 * out[..., :3], key)
 
@@ -221,6 +247,16 @@ def main():
     print("# measuring windowed regime...", file=sys.stderr, flush=True)
     value = measure_jax("windowed")
     print(f"# windowed: {value:,.0f} pts/s", file=sys.stderr, flush=True)
+    two_view = None
+    try:
+        two_view = measure_jax("windowed", views=2)
+        print(
+            f"# windowed 2-view (accuracy-grade eval, beats exact "
+            f"+0.66pp): {two_view:,.0f} pts/s",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:
+        print(f"# 2-view measurement failed: {e}", file=sys.stderr)
     try:
         exact = measure_jax("exact")
         print(
@@ -294,6 +330,10 @@ def main():
                 "value": round(value, 1),
                 "unit": "points/sec/chip",
                 "vs_baseline": None if vs is None else round(vs, 2),
+                **(
+                    {"two_view_pts_per_sec": round(two_view, 1)}
+                    if two_view else {}
+                ),
                 **({"configs": configs} if configs else {}),
             }
         )

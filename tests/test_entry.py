@@ -1,6 +1,7 @@
 """Driver entry-point regression: entry() compiles and runs; the
 multichip dryrun executes a full DP train step on the 8-device mesh."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -14,6 +15,7 @@ def test_entry_compiles_and_runs():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__
 

@@ -7,6 +7,7 @@ one process (jax.make_array_from_process_local_data handles the >1 case
 by construction).
 """
 
+import pytest
 import numpy as np
 import jax
 
@@ -58,6 +59,7 @@ def test_make_global_batch_single_process_matches_shard_batch():
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+@pytest.mark.slow
 def test_multiprocess_global_batch_executes():
     """VERDICT r2 #6: actually EXECUTE the process_count>1 path — spawn 2
     jax.distributed CPU processes; each feeds its loader shard through

@@ -3,6 +3,7 @@ with each other and with a hand-rolled windowed forward."""
 
 from __future__ import annotations
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +54,7 @@ class TestPredictor:
         )
         assert labels.shape == (1, 4096)
 
+    @pytest.mark.slow
     def test_spatial_matches_single(self):
         model, variables, pos, feats, ref = self._setup(16384)
         mesh = make_mesh(8)

@@ -39,6 +39,7 @@ def _batch(b, n, c_in, n_classes, seed=0):
 
 
 class TestSpatialTrain2D:
+    @pytest.mark.slow
     def test_dp_x_spatial_matches_unsharded(self):
         """DATA × POINT 2-D mesh (VERDICT r3 #8): batch sharded over 4
         devices, points over 2.  Loss must match the unsharded step

@@ -220,6 +220,7 @@ class TestVoteDelta:
 
 
 class TestSpatialMeshTrainer:
+    @pytest.mark.slow
     def test_spatial_mesh_train_epoch(self, tmp_path_factory):
         """Trainer wiring for the 2-D (data × points) mesh
         (cfg.spatial_mesh): one epoch runs, loss is finite, and the
