@@ -88,3 +88,18 @@ class TestCLI:
                 "--dataset", "S3DIS", "--root", "/nonexistent",
                 "--set", "bogus_field=1",
             ])
+
+
+class TestHtmlViewer:
+    def test_export_html_self_contained(self, tmp_path):
+        from crfconv_tpu.utils.visualization import export_html
+
+        rng = np.random.default_rng(0)
+        pos = rng.random((500, 3)).astype(np.float32)
+        labels = rng.integers(0, 13, 500)
+        path = export_html(str(tmp_path / "cloud.html"), pos, labels=labels)
+        html = open(path).read()
+        # one self-contained file: data embedded, no external fetches
+        assert "<script>" in html and "http" not in html.split("</title>")[1]
+        assert html.count(",") > 3 * 500  # embedded coordinates
+        assert "drawArrays" in html
