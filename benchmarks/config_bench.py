@@ -271,9 +271,12 @@ def _torch_small_model(model_name, C_in, n_cls, steps):
             self.crf = crf
             chans = ((4, 256), (3, 128), (2, 64), (1, 32))
             if crf:
+                # decoder input dims: 512 from the deepest encoder
+                # stage, then each stage's fused output
+                cins = (512, 256, 128, 64)
                 self.deconv = nn.ModuleList(
-                    [TorchGuideCRF(ch, CH[i - 1], ch, steps=steps)
-                     for i, ch in chans]
+                    [TorchGuideCRF(cin, CH[i - 1], ch, steps=steps)
+                     for cin, (i, ch) in zip(cins, chans)]
                 )
             else:
                 self.lin = nn.ModuleList(

@@ -67,22 +67,40 @@ class ContinuousCRFConv(nn.Module):
         from crfconv_tpu.ops.neighbors import get_neighbor_mode
 
         mode = get_neighbor_mode()
-        if spatial_state.current() is None and crf_sim_pallas.sim_eligible(
-            train, hidden, nidx.shape[1], mode
-        ):
+        handled = False
+        if crf_sim_pallas.sim_eligible(train, hidden, nidx.shape[1], mode):
             # eval-mode fused setup: window DMA of [y|z], Gaussian
             # similarity softmax, and the first message Σ_k s·z_k in one
             # Pallas pass — the decoder's [B,N,K,2H] guidance gather
             # never touches HBM (VERDICT r3 #4)
-            msg0, s = crf_sim_pallas.crf_similarity_message(
-                y, x, nidx, tile=mode["tile"], pad=mode["pad"],
-                interpret=crf_sim_pallas.SIM_INTERPRET,
-            )
-            x = crf_mean_field(
-                x, s, nidx, c, steps=self.steps, msg0=msg0,
-                allow_fused=True,
-            )
-        else:
+            if spatial_state.current() is None:
+                msg0, s = crf_sim_pallas.crf_similarity_message(
+                    y, x, nidx, tile=mode["tile"], pad=mode["pad"],
+                    interpret=crf_sim_pallas.SIM_INTERPRET,
+                )
+                x = crf_mean_field(
+                    x, s, nidx, c, steps=self.steps, msg0=msg0,
+                    allow_fused=True,
+                )
+                handled = True
+            else:
+                # point-sharded: the kernel runs on the halo-extended
+                # frame (parallel/spatial_forward), the chunked halo
+                # iteration consumes the trimmed s
+                from crfconv_tpu.parallel.spatial_forward import (
+                    spatial_crf_similarity,
+                )
+
+                r = spatial_crf_similarity(
+                    y, x, nidx, mode["tile"], mode["pad"]
+                )
+                if r is not None:
+                    _, s = r
+                    x = crf_mean_field(
+                        x, s, nidx, c, steps=self.steps, allow_fused=True
+                    )
+                    handled = True
+        if not handled:
             # one fused gather of [y, z] — similarity guidance and the
             # first mean-field message share the same neighbor indices
             from crfconv_tpu.ops.neighbors import gather_neighbors

@@ -258,6 +258,49 @@ def spatial_point_conv_fused(
         return o[:, h_t:-h_t], r[:, h_t:-h_t]
 
 
+def spatial_crf_similarity(y, z, idx, tile: int, pad: int):
+    """Point-sharded fused CRF similarity (+ first message): exchange →
+    crf_sim_pallas kernel on the extended frame → trim.  Same-scale
+    geometry (similarity indices always reference their own scale), so
+    h_t == h_s.  Returns (msg, s) in local rows, or None when the halo
+    is infeasible (caller falls back to the spatial gather funnel).
+    The msg is exact but unused by the chunked halo CRF iteration —
+    the payoff here is computing s without the [B, N, K, 2H] spatial
+    gather."""
+    from crfconv_tpu.ops import crf_sim_pallas
+    from crfconv_tpu.parallel.spatial import _exchange_halo
+
+    ctx = spatial_state.current()
+    assert ctx is not None
+    ax, ndev = ctx["axis"], ctx["ndev"]
+    sh, n_g = _frame(ctx, y.shape[1], "CRF similarity")
+
+    with spatial_state.suspend():
+        if not sh:
+            msg, s = crf_sim_pallas.crf_similarity_message(
+                y, z, idx, tile=tile, pad=pad,
+                interpret=crf_sim_pallas.SIM_INTERPRET,
+            )
+            return msg, s
+        local = y.shape[1]
+        h, h_s = _halo_pair(n_g, n_g, tile, pad)
+        assert h == h_s
+        if h > local or n_g % ndev != 0:
+            return None
+        dev = jax.lax.axis_index(ax)
+        offset = dev * local - h
+        y_e = _exchange_halo(y, h, ax)
+        z_e = _exchange_halo(z, h, ax)
+        idx_e = jnp.clip(
+            _exchange_halo(idx, h, ax) - offset, 0, local + 2 * h - 1
+        ).astype(jnp.int32)
+        msg, s = crf_sim_pallas.crf_similarity_message(
+            y_e, z_e, idx_e, tile=tile, pad=pad,
+            interpret=crf_sim_pallas.SIM_INTERPRET,
+        )
+        return msg[:, h:-h], s[:, h:-h]
+
+
 def crf_mean_field_ctx(z, s, neighbor_idx, c, steps, neighbors0, allow_fused):
     """ctx-aware continuous CRF mean field (hooked from ops.crf)."""
     from crfconv_tpu.ops.crf import crf_mean_field

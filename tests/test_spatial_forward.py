@@ -105,10 +105,14 @@ class TestSpatialForward:
         same-scale fused body (scales 0 and 1), the sharded→sharded
         strided body with the residual rider (0→1), and the
         sharded-source/replicated-target all-gather branch (1→2)."""
-        from crfconv_tpu.ops import conv_pallas
+        from crfconv_tpu.ops import conv_pallas, crf_sim_pallas
 
         monkeypatch.setattr(conv_pallas, "FUSED_INTERPRET", True)
         monkeypatch.setattr(conv_pallas, "FUSED_MIN_ROWS", 0)
+        # also arm the fused CRF similarity kernel: the decoders take the
+        # spatial_crf_similarity exchange→kernel→trim route
+        monkeypatch.setattr(crf_sim_pallas, "SIM_INTERPRET", True)
+        monkeypatch.setattr(crf_sim_pallas, "SIM_MIN_ROWS", 0)
         mesh = make_mesh(8)
         model = PointConvResNet(
             n_classes=5, use_crf=True, steps=1, layers=(8, 16, 32, 64, 128),
