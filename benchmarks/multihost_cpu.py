@@ -29,6 +29,10 @@ def worker(proc_id: int, nprocs: int, ndevs: int, steps: int, port: int):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={ndevs}"
+        # 1-core host: don't let XLA's 40 s CPU-collective rendezvous
+        # abort fire when the scheduler starves a device thread
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        + " --xla_cpu_collective_timeout_seconds=3600"
     ).strip()
     import jax
 

@@ -23,9 +23,15 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# raise the CPU collective rendezvous abort timeout: on a 1-core host the
+# scheduler can starve one of 8 device threads past XLA's 40 s default
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -6,9 +6,16 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA's CPU collective rendezvous hard-aborts if a virtual device thread
+# is >40 s late to a collective; on a 1-core host the scheduler can
+# starve one of 8 device threads that long inside big sharded programs.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 # Persistent compile cache: model compiles dominate test time on 1 CPU core.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/crfconv_jax_cache")
