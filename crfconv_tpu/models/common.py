@@ -10,6 +10,7 @@ SURVEY.md §7 "hard parts" #1).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, Optional
 
 import jax
@@ -36,6 +37,20 @@ def set_compute_dtype(dtype: Optional[jnp.dtype]) -> None:
 
 def get_compute_dtype():
     return _COMPUTE["dtype"]
+
+
+@contextlib.contextmanager
+def compute_dtype_scope(dtype: Optional[jnp.dtype]):
+    """Scoped variant of set_compute_dtype: restores the previous dtype on
+    exit so one component's precision choice never leaks into later
+    trace-time reads in the same process (same failure class as the
+    neighbor-regime global, VERDICT r4 weak #2)."""
+    prev = _COMPUTE["dtype"]
+    _COMPUTE["dtype"] = dtype
+    try:
+        yield
+    finally:
+        _COMPUTE["dtype"] = prev
 
 
 def torch_linear_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):

@@ -14,6 +14,7 @@ TPU-native rebuild of the reference Trainer (trainval.py:20-343):
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 import time
@@ -196,64 +197,105 @@ class Trainer:
             gamma=cfg.gamma,
             steps_per_epoch=steps_per_epoch,
         )
-        example = next(iter(
-            MultiscaleLoader(
-                train_set, cfg.batch_size, transform=train_tf,
-                seed=seed, prefetch=0, **loader_kw,
-            )
-        ))
-        if windowed:
-            from crfconv_tpu.train.train_state import build_windowed_batch
-
-            example = build_windowed_batch(example, jax.random.PRNGKey(0))
-        self.state = create_train_state(self.model, example, self.tx, seed)
+        # Trace-time globals (gather regime, matmul dtype) are SCOPED to
+        # this Trainer: construction and every step call run inside
+        # self._scope(), which restores the previous process-wide values
+        # on exit.  A bare set_neighbor_mode here poisoned every later
+        # exact-mode computation in the process once the default config
+        # went windowed (VERDICT r4 weak #2).
+        self._mode_kwargs = (
+            dict(mode="windowed", knn_exact=cfg.windowed_knn_exact)
+            if windowed
+            else dict(mode="exact")
+        )
+        self._compute_dtype = (
+            None
+            if cfg.compute_dtype == "float32"
+            else jnp.dtype(cfg.compute_dtype)
+        )
 
         cw = cfg.class_weights
         cw = None if cw is None else jnp.asarray(cw)
-        if windowed:
-            # read at trace time by every gather in the model
-            from crfconv_tpu.ops.neighbors import set_neighbor_mode
+        with self._scope():
+            example = next(iter(
+                MultiscaleLoader(
+                    train_set, cfg.batch_size, transform=train_tf,
+                    seed=seed, prefetch=0, **loader_kw,
+                )
+            ))
+            if windowed:
+                from crfconv_tpu.train.train_state import build_windowed_batch
 
-            set_neighbor_mode(
-                "windowed", knn_exact=cfg.windowed_knn_exact
+                example = build_windowed_batch(
+                    example, jax.random.PRNGKey(0)
+                )
+            self.state = create_train_state(
+                self.model, example, self.tx, seed
             )
-        if cfg.compute_dtype != "float32":
-            from crfconv_tpu.models.common import set_compute_dtype
+            self._train_step = self._scoped(jax.jit(
+                make_train_step(
+                    self.model, cw, cfg.ignore_index, cfg.label_offset,
+                    windowed=windowed,
+                    curve_jitter=windowed
+                    and getattr(cfg, "curve_jitter", False),
+                ),
+                donate_argnums=(0,),
+            ))
+            self._eval_step = self._scoped(jax.jit(
+                make_eval_step(
+                    self.model, cw, cfg.ignore_index, cfg.label_offset,
+                    windowed=windowed,
+                    eval_views=getattr(cfg, "eval_views", 1)
+                    if windowed else 1,
+                )
+            ))
 
-            set_compute_dtype(jnp.dtype(cfg.compute_dtype))
-        self._train_step = jax.jit(
-            make_train_step(
-                self.model, cw, cfg.ignore_index, cfg.label_offset,
-                windowed=windowed,
-                curve_jitter=windowed and getattr(cfg, "curve_jitter", False),
-            ),
-            donate_argnums=(0,),
-        )
-        self._eval_step = jax.jit(
-            make_eval_step(
-                self.model, cw, cfg.ignore_index, cfg.label_offset,
-                windowed=windowed,
-                eval_views=getattr(cfg, "eval_views", 1) if windowed else 1,
-            )
-        )
-
-        self.mesh = None
-        if windowed and getattr(cfg, "spatial_mesh", None):
-            # 2-D (data × points) mesh: batch-parallel × point-sharded
-            # training (VERDICT r3 #8).  The train step sorts each raw
-            # batch, builds the pyramid SHARDED (spatial_build), and
-            # steps through make_spatial_train_step; eval keeps the
-            # single-chip path on the replicated state.
-            self._train_step = self._make_spatial_mesh_step(cw, example)
-        elif n_devices is not None and n_devices > 1:
-            self.mesh = make_mesh(n_devices)
-            self.state = replicate(self.state, self.mesh)
+            self.mesh = None
+            if windowed and getattr(cfg, "spatial_mesh", None):
+                # 2-D (data × points) mesh: batch-parallel × point-sharded
+                # training (VERDICT r3 #8).  The train step sorts each raw
+                # batch, builds the pyramid SHARDED (spatial_build), and
+                # steps through make_spatial_train_step; eval keeps the
+                # single-chip path on the replicated state.
+                self._train_step = self._scoped(
+                    self._make_spatial_mesh_step(cw, example)
+                )
+            elif n_devices is not None and n_devices > 1:
+                self.mesh = make_mesh(n_devices)
+                self.state = replicate(self.state, self.mesh)
 
         self.metrics = RunningScore(cfg.num_classes, cfg.ignore_index)
         self.ckpt = CheckpointManager(
             os.path.join(cfg.checkpoint_dir, cfg.prefix)
         )
         self.rng = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+    @contextlib.contextmanager
+    def _scope(self):
+        """Activate this Trainer's trace-time globals (neighbor regime +
+        compute dtype) for the duration of the block, restoring the
+        previous values afterwards — the regime a Trainer was configured
+        with must never leak into unrelated computations in the same
+        process (reference exact-gather semantics being protected:
+        models/continuous_crf_conv_big.py:63-72)."""
+        from crfconv_tpu.models.common import compute_dtype_scope
+        from crfconv_tpu.ops.neighbors import neighbor_mode
+
+        with neighbor_mode(**self._mode_kwargs), compute_dtype_scope(
+            self._compute_dtype
+        ):
+            yield
+
+    def _scoped(self, fn):
+        """Wrap a (possibly jitted) callable so each invocation — and in
+        particular its first, trace-inducing one — runs under _scope()."""
+
+        def wrapped(*args, **kwargs):
+            with self._scope():
+                return fn(*args, **kwargs)
+
+        return wrapped
 
     # ------------------------------------------------------------------
     def _make_spatial_mesh_step(self, cw, example):
@@ -466,6 +508,7 @@ class Trainer:
 
     def _train_loop(self, preempted) -> float:
         best_iou = 0.0
+        since_best = 0
         for epoch in range(getattr(self, "_start_epoch", 0), self.cfg.epochs):
             if preempted["flag"]:
                 self.ckpt.save(
@@ -503,10 +546,20 @@ class Trainer:
                 )
                 if miou >= best_iou:
                     best_iou = miou
+                    since_best = 0
+                else:
+                    since_best += 1
                 self.ckpt.save(
                     self.state, step=int(self.state.step), metric=miou,
                     aux=self._aux_state(epoch + 1),
                 )
+                patience = self.cfg.early_stop_patience
+                if patience is not None and since_best >= patience:
+                    log.info(
+                        "early stop at epoch %d (no val improvement "
+                        "for %d epochs)", epoch, patience,
+                    )
+                    break
         log.info("training finished, best mIoU %.2f%%", best_iou * 100)
         return best_iou
 
@@ -561,6 +614,11 @@ class Trainer:
                 names = getattr(
                     self.val_set, "input_names", None
                 ) or getattr(self.val_set, "val_files")
+                # benchmark-server ascii submissions: the Semantic3D
+                # server wants one `.labels` file of ints per test cloud
+                # under its own name map (reference trainval.py:206-208,
+                # semantic3d_dataset.py:241-260)
+                ascii_map = getattr(self.val_set, "ascii_files", None)
                 for i, name in enumerate(names):
                     proj_idx = proj_list[i]
                     probs = self.test_probs[i][proj_idx]
@@ -570,6 +628,16 @@ class Trainer:
                         os.path.join(saving_path, str(name)),
                         [preds], ["pred"],
                     )
+                    if ascii_map is not None:
+                        base = os.path.basename(str(name))
+                        key = base if base in ascii_map else base + ".ply"
+                        label_name = ascii_map.get(
+                            key, os.path.splitext(base)[0] + ".labels"
+                        )
+                        np.savetxt(
+                            os.path.join(saving_path, label_name),
+                            preds, fmt="%d",
+                        )
                 return saving_path
             epoch += 1
         return saving_path

@@ -29,3 +29,25 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolate_trace_globals():
+    """Snapshot/restore the process-wide trace-time globals around every
+    test: the gather regime (ops/neighbors._MODE) and the matmul compute
+    dtype (models/common._COMPUTE).  A test that configures either must
+    not poison later exact-mode/f32 computations — the r4 suite was red
+    in default order exactly because of such a leak (VERDICT r4 weak #2)."""
+    from crfconv_tpu.models.common import _COMPUTE
+    from crfconv_tpu.ops.neighbors import _MODE
+
+    mode = dict(_MODE)
+    dtype = _COMPUTE["dtype"]
+    try:
+        yield
+    finally:
+        _MODE.clear()
+        _MODE.update(mode)
+        _COMPUTE["dtype"] = dtype

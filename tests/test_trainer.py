@@ -251,3 +251,40 @@ class TestSpatialMeshTrainer:
         assert trainer.mesh2d.shape == {"data": 2, "points": 2}
         out = trainer.train_one_epoch(0)
         assert np.isfinite(out["loss"])
+
+
+class TestModeIsolation:
+    def test_windowed_trainer_does_not_leak_neighbor_mode(self, tiny_cfg):
+        """Regression for the r4 process-global dispatch leak (VERDICT r4
+        weak #2): constructing and stepping a windowed-regime Trainer must
+        leave the process-wide gather regime untouched, so a later
+        exact-mode gather_neighbors still equals plain take_along_axis."""
+        import jax
+        import jax.numpy as jnp
+
+        from crfconv_tpu.ops.neighbors import (
+            gather_neighbors,
+            get_neighbor_mode,
+            set_neighbor_mode,
+        )
+
+        set_neighbor_mode("exact")
+        assert tiny_cfg.neighbor_regime == "windowed"  # the r4+ default
+        trainer = Trainer(tiny_cfg, seed=0)
+        assert trainer._mode_kwargs["mode"] == "windowed"
+        batch = next(iter(trainer.train_loader))
+        trainer.rng, sub = jax.random.split(trainer.rng)
+        trainer.state, m = trainer._train_step(trainer.state, batch, sub)
+        assert np.isfinite(float(m["loss"]))
+
+        # the global regime must still be exact...
+        assert get_neighbor_mode()["mode"] == "exact"
+        # ...and an exact-mode gather must behave exactly
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random((2, 64, 5), dtype=np.float32))
+        idx = jnp.asarray(rng.integers(0, 64, (2, 64, 8)), jnp.int32)
+        got = gather_neighbors(x, idx)
+        want = jnp.take_along_axis(
+            x, idx.reshape(2, -1, 1), axis=1
+        ).reshape(2, 64, 8, 5)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
