@@ -59,11 +59,19 @@ def test_train_epoch_with_label_shift(trainer):
 def test_unlabeled_vote_test_writes_predictions(trainer, tmp_path):
     out = trainer.test(num_votes=1, saving_path=str(tmp_path / "preds"))
     files = sorted(os.listdir(out))
-    assert len(files) == 1  # one val cloud (cloudB per the split table)
+    # one val cloud (cloudB per the split table): PLY + ascii submission
+    ply_files = [f for f in files if not f.endswith(".labels")]
+    label_files = [f for f in files if f.endswith(".labels")]
+    assert len(ply_files) == 1 and len(label_files) == 1
     from crfconv_tpu.data.ply import read_ply
 
-    p = read_ply(os.path.join(out, files[0]))
+    p = read_ply(os.path.join(out, ply_files[0]))
     # predictions are written in dataset label space (1..8)
     assert 1 <= p["pred"].min() and p["pred"].max() <= 8
     # projected to the FULL (0.01-normalized) cloud, not the sub-cloud
     assert p["pred"].shape[0] == trainer.val_set.test_labels[0].shape[0]
+    # benchmark-server ascii submission (reference trainval.py:206-208):
+    # one int label per full-cloud point, same values as the PLY
+    sub = np.loadtxt(os.path.join(out, label_files[0]), dtype=np.int64)
+    assert sub.shape[0] == p["pred"].shape[0]
+    np.testing.assert_array_equal(sub, p["pred"].astype(np.int64))
