@@ -78,22 +78,28 @@ def measure_jax(mode: str = "windowed", views: int = 1) -> float:
     # windowed serving default: packed-key kNN selection (accuracy-
     # indistinguishable from exact selection, benchmarks r3 study)
     with neighbor_mode(mode, knn_exact=mode != "windowed"):
-        # init once on a prebuilt batch
-        if mode == "windowed":
-            order, scales = build_pyramid_windowed(
-                pos, key=jax.random.PRNGKey(0)
+        # init once on a prebuilt batch — ONE jitted program (eager init
+        # dispatches hundreds of tiny programs through the remote
+        # compile helper; VERDICT r4 weak #1/#5)
+        @jax.jit
+        def init_all(pos, feats):
+            if mode == "windowed":
+                order, scales = build_pyramid_windowed(
+                    pos, key=jax.random.PRNGKey(0)
+                )
+                x0 = jnp.take_along_axis(feats, order[..., None], axis=1)
+            else:
+                scales = build_pyramid_jax(pos, key=jax.random.PRNGKey(0))
+                x0 = feats
+            batch0 = PointBatch(x=x0, y=None, scales=scales)
+            return model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                batch0,
+                train=False,
             )
-            x0 = jnp.take_along_axis(feats, order[..., None], axis=1)
-        else:
-            scales = build_pyramid_jax(pos, key=jax.random.PRNGKey(0))
-            x0 = feats
-        batch0 = PointBatch(x=x0, y=None, scales=scales)
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0),
-             "dropout": jax.random.PRNGKey(1)},
-            batch0,
-            train=False,
-        )
+
+        variables = init_all(pos, feats)
 
         def one_view(p, sub, rot):
             order, scales = build_pyramid_windowed(
@@ -244,30 +250,87 @@ def measure_torch_baseline(max_iters: int = 3) -> float:
 
 
 def main():
+    """Headline FIRST, extras under a wall-clock budget.
+
+    Round 4's driver artifact was rc=124/parsed:null because main() only
+    printed its JSON after EVERY measurement — and cold compiles are
+    unbounded (VERDICT r4 weak #1).  Now the canonical headline line hits
+    stdout the moment the headline + torch baseline exist; the extras
+    (2-view, exact regime, train steps, five config rows) run only while
+    the CRFCONV_BENCH_BUDGET_S budget predicts they can finish, and an
+    enriched second JSON line (same schema plus extra fields) is printed
+    at the end.  Either line parses standalone.
+    """
+    t_start = time.monotonic()
+    budget = float(os.environ.get("CRFCONV_BENCH_BUDGET_S", "1500"))
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_start)
+
     print("# measuring windowed regime...", file=sys.stderr, flush=True)
     value = measure_jax("windowed")
-    print(f"# windowed: {value:,.0f} pts/s", file=sys.stderr, flush=True)
+    headline_cost = time.monotonic() - t_start  # compile + measure
+    print(
+        f"# windowed: {value:,.0f} pts/s "
+        f"(measured in {headline_cost:.0f}s incl. compile)",
+        file=sys.stderr, flush=True,
+    )
+    try:
+        baseline = measure_torch_baseline()
+        vs = value / baseline
+    except Exception:
+        vs = None
+    result = {
+        "metric": "S3DIS-config e2e inference (pyramid+forward, "
+        "PointConvBig CRF steps=1, windowed regime)",
+        "value": round(value, 1),
+        "unit": "points/sec/chip",
+        "vs_baseline": None if vs is None else round(vs, 2),
+        "headline_wall_s": round(headline_cost, 1),
+    }
+    print(json.dumps(result), flush=True)
+
+    def can_afford(scale: float) -> bool:
+        """Gate an extra on a prediction from the headline's own cost:
+        cold cache → headline was huge → extras (similar-size programs)
+        are skipped; warm cache → everything runs."""
+        need = max(120.0, scale * headline_cost)
+        ok = remaining() > need
+        if not ok:
+            print(
+                f"# skipping extra (needs ~{need:.0f}s, "
+                f"{remaining():.0f}s left in budget)",
+                file=sys.stderr, flush=True,
+            )
+        return ok
+
     two_view = None
-    try:
-        two_view = measure_jax("windowed", views=2)
-        print(
-            f"# windowed 2-view (accuracy-grade eval, beats exact "
-            f"+0.66pp): {two_view:,.0f} pts/s",
-            file=sys.stderr, flush=True,
-        )
-    except Exception as e:
-        print(f"# 2-view measurement failed: {e}", file=sys.stderr)
-    try:
-        exact = measure_jax("exact")
-        print(
-            f"# exact-regime: {exact:,.0f} pts/s; windowed: {value:,.0f}",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"# exact-regime measurement failed: {e}", file=sys.stderr)
+    if can_afford(1.5):
+        try:
+            two_view = measure_jax("windowed", views=2)
+            print(
+                f"# windowed 2-view (accuracy-grade eval): "
+                f"{two_view:,.0f} pts/s",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as e:
+            print(f"# 2-view measurement failed: {e}", file=sys.stderr)
+    exact = None
+    if can_afford(1.2):
+        try:
+            exact = measure_jax("exact")
+            print(
+                f"# exact-regime: {exact:,.0f} pts/s; "
+                f"windowed: {value:,.0f}",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as e:
+            print(f"# exact-regime measurement failed: {e}", file=sys.stderr)
+    train_results = {}
     if not os.environ.get("CRFCONV_BENCH_SKIP_TRAIN"):
-        train_results = {}
         for mode in ("windowed", "exact"):
+            if not can_afford(1.2):
+                break
             try:
                 tv = measure_train(mode)
                 train_results[mode] = round(tv, 1)
@@ -281,35 +344,30 @@ def main():
 
                 print(f"# train ({mode}) failed: {e!r}", file=sys.stderr)
                 traceback.print_exc(file=sys.stderr)
-        try:
-            with open(
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "benchmarks", "train_bench.json",
-                ),
-                "w",
-            ) as f:
-                json.dump(
-                    {
-                        "metric": "train step pts/s (pyramid+fwd+bwd+SGD, "
-                        f"B={BATCH} N={POINTS} steps=1)",
-                        **train_results,
-                    },
-                    f,
-                )
-        except Exception:
-            pass
-    try:
-        baseline = measure_torch_baseline()
-        vs = value / baseline
-    except Exception:
-        vs = None
-    # all-five BASELINE.json config rows (VERDICT r3 #2), embedded in the
-    # same single JSON line.  Torch baselines come from the committed
-    # cache (benchmarks/torch_baseline_configs.json); TPU numbers are
-    # re-measured here.
+        if train_results:
+            try:
+                with open(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "train_bench.json",
+                    ),
+                    "w",
+                ) as f:
+                    json.dump(
+                        {
+                            "metric": "train step pts/s (pyramid+fwd+bwd+"
+                            f"SGD, B={BATCH} N={POINTS} steps=1)",
+                            **train_results,
+                        },
+                        f,
+                    )
+            except Exception:
+                pass
+    # all-five BASELINE.json config rows (VERDICT r3 #2).  Torch baselines
+    # come from the committed cache
+    # (benchmarks/torch_baseline_configs.json); TPU numbers re-measured.
     configs = None
-    if not os.environ.get("CRFCONV_BENCH_HEADLINE_ONLY"):
+    if not os.environ.get("CRFCONV_BENCH_HEADLINE_ONLY") and can_afford(3.0):
         try:
             sys.path.insert(
                 0,
@@ -322,22 +380,15 @@ def main():
             configs = measure_all()
         except Exception as e:
             print(f"# config rows failed: {e!r}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "S3DIS-config e2e inference (pyramid+forward, "
-                "PointConvBig CRF steps=1, windowed regime)",
-                "value": round(value, 1),
-                "unit": "points/sec/chip",
-                "vs_baseline": None if vs is None else round(vs, 2),
-                **(
-                    {"two_view_pts_per_sec": round(two_view, 1)}
-                    if two_view else {}
-                ),
-                **({"configs": configs} if configs else {}),
-            }
-        )
-    )
+    extras = {
+        **({"two_view_pts_per_sec": round(two_view, 1)} if two_view else {}),
+        **({"exact_pts_per_sec": round(exact, 1)} if exact else {}),
+        **({"train_pts_per_sec": train_results} if train_results else {}),
+        **({"configs": configs} if configs else {}),
+    }
+    if extras:
+        result.update(extras, total_wall_s=round(time.monotonic() - t_start, 1))
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

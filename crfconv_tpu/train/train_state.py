@@ -71,13 +71,17 @@ def create_train_state(
     tx: optax.GradientTransformation,
     seed: int = 0,
 ) -> TrainState:
-    variables = model.init(
+    # jit the init: eagerly it dispatches every primitive separately —
+    # hundreds of round-trips through the remote compile helper on a
+    # tunneled TPU; as one jitted program it is a single (cached) compile
+    variables = jax.jit(
+        lambda rngs, b: model.init(rngs, b, train=True)
+    )(
         {
             "params": jax.random.PRNGKey(seed),
             "dropout": jax.random.PRNGKey(seed + 1),
         },
         example_batch,
-        train=True,
     )
     return TrainState.create(
         params=variables["params"],
