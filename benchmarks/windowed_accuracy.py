@@ -75,9 +75,52 @@ def labels_for(pos, anchors, task):
     )
 
 
+def sample_cloud_rooms(rng, batch):
+    """Structured-room task (VERDICT r4 #4: a non-synthetic-geometry
+    arm): each cloud is one generated office room
+    (crfconv_tpu.parity.synthetic) — floors/walls/furniture with the
+    13-class S3DIS nomenclature and class-correlated but overlapping RGB,
+    so labels follow real geometric context rather than a position
+    formula.  Features = [rgb/255, pos] (the S3DIS 6-channel input)."""
+    import numpy as np
+
+    from crfconv_tpu.data.datasets.s3dis import CLASS_NAMES
+    from crfconv_tpu.parity.synthetic import _BASE_RGB, _make_room
+
+    pos = np.empty((batch, N, 3), np.float32)
+    x = np.empty((batch, N, 6), np.float32)
+    y = np.empty((batch, N), np.int64)
+    for b in range(batch):
+        parts = _make_room(rng, int(N * 1.2))
+        xyz = np.concatenate([p for _, p in parts], axis=0)
+        cls = np.concatenate(
+            [np.full(p.shape[0], CLASS_NAMES[c]) for c, p in parts]
+        )
+        rgb = np.concatenate(
+            [
+                np.clip(
+                    np.asarray(_BASE_RGB[c], np.float64)[None]
+                    + rng.normal(0, 22, (p.shape[0], 3)),
+                    0, 255,
+                )
+                for c, p in parts
+            ],
+            axis=0,
+        )
+        take = rng.choice(xyz.shape[0], N, replace=False)
+        p = xyz[take]
+        p = (p - p.min(0)) / max(float((p.max(0) - p.min(0)).max()), 1e-6)
+        pos[b] = p
+        y[b] = cls[take]
+        x[b] = np.concatenate([rgb[take] / 255.0, p], axis=-1)
+    return pos, x, y.astype(np.int32)
+
+
 def sample_cloud(rng, anchors, emb, task, batch):
     import numpy as np
 
+    if task == "rooms":
+        return sample_cloud_rooms(rng, batch)
     pos = rng.random((batch, N, 3), dtype=np.float32)
     y = labels_for(pos, anchors, task)
     noisy = np.where(
@@ -302,8 +345,65 @@ def main():
     print(json.dumps(out))
 
 
+def main_r5(tasks=("slabs", "voronoi", "rooms")):
+    """Round-5 study (VERDICT r4 #4): harden the windowed-default
+    evidence — the 2-view arm on BOTH original tasks plus the
+    structured-rooms task (real room geometry, not a position formula).
+    Arms: exact baseline, windowed-packed single view, windowed-packed
+    2-view (the shipped default config).  Writes
+    benchmarks/results_windowed_accuracy_r5.json.
+    """
+    import numpy as np
+
+    arms = [
+        ("exact", "exact", 64, 128, True, False, 1),
+        ("win-packed", "windowed", 64, 128, False, False, 1),
+        ("win-2view", "windowed", 64, 128, False, False, 2),
+    ]
+    results = {}
+    for task in tasks:
+        for seed in SEEDS:
+            for key, mode, tile, pad, kx, jit_, views in arms:
+                miou, epochs = run(
+                    mode, task, seed, tile, pad, kx,
+                    jitter=jit_, views=views,
+                )
+                results.setdefault(task, {}).setdefault(key, []).append(
+                    round(miou, 4)
+                )
+                print(
+                    f"# {task} seed {seed} {key}: best mIoU {miou:.4f} "
+                    f"(stopped after {epochs} epochs)",
+                    file=sys.stderr, flush=True,
+                )
+    out = {
+        "metric": "r5 windowed-default evidence: exact vs windowed "
+        f"1-view vs 2-view BEST val mIoU ({len(SEEDS)} seeds, "
+        "early-stopped; tasks: slabs = adversarial cross-tile, voronoi "
+        "= Morton-local, rooms = structured office geometry)",
+        "results": results,
+    }
+    for task, arms_r in results.items():
+        for key, vals in arms_r.items():
+            if key == "exact":
+                continue
+            d = np.array(vals) - np.array(arms_r["exact"])
+            ci = 1.96 * d.std(ddof=1) / np.sqrt(len(d))
+            out[f"{task}:{key}:delta"] = round(float(d.mean()), 4)
+            out[f"{task}:{key}:ci95"] = round(float(ci), 4)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "results_windowed_accuracy_r5.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    if "--r4" in sys.argv:
+    if "--r5" in sys.argv:
+        main_r5()
+    elif "--r4" in sys.argv:
         tasks = ("slabs", "voronoi") if "--all-tasks" in sys.argv else (
             "slabs",
         )

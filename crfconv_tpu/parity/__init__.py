@@ -96,8 +96,10 @@ def run_torch_reference(cfg, dataset, seed: int = 0, num_votes: int = 100):
         )
         return x, y, _scales_to_torch(batch.scales)
 
-    model.train()
+    patience = getattr(cfg, "early_stop_patience", None)
+    best_miou, best_state, since_best = -1.0, None, 0
     for epoch in range(cfg.epochs):
+        model.train()
         tot, n = 0.0, 0
         for batch in train_loader:
             x, y, scales = to_torch(batch)
@@ -112,7 +114,39 @@ def run_torch_reference(cfg, dataset, seed: int = 0, num_votes: int = 100):
             opt.step()
             tot, n = tot + float(loss), n + 1
         sched.step()
-        log.info("torch epoch %d: loss=%.4f", epoch, tot / max(n, 1))
+        if patience is None:
+            log.info("torch epoch %d: loss=%.4f", epoch, tot / max(n, 1))
+            continue
+        # plateau tracking (same rule as Trainer._train_loop): per-epoch
+        # val mIoU, keep the best state, stop after `patience` flat epochs
+        from crfconv_tpu.train.metrics import RunningScore
+
+        model.eval()
+        score = RunningScore(cfg.num_classes, cfg.ignore_index)
+        with torch.no_grad():
+            for batch in val_loader:
+                x, y, scales = to_torch(batch)
+                pred = model(x, scales).argmax(-1).reshape(-1).numpy()
+                score.update(
+                    (y - cfg.label_offset).reshape(-1).numpy(), pred
+                )
+        miou = score.get_scores()[0]["Mean IoU"]
+        log.info(
+            "torch epoch %d: loss=%.4f val mIoU=%.2f%%",
+            epoch, tot / max(n, 1), miou * 100,
+        )
+        if miou >= best_miou:
+            best_miou, since_best = miou, 0
+            best_state = {
+                k: v.detach().clone() for k, v in model.state_dict().items()
+            }
+        else:
+            since_best += 1
+            if since_best >= patience:
+                log.info("torch early stop at epoch %d", epoch)
+                break
+    if best_state is not None:
+        model.load_state_dict(best_state)
 
     # labeled vote test, exact reference semantics
     model.eval()
@@ -172,25 +206,66 @@ def run_parity(
     seed: int = 0,
     dry_run: bool = False,
     out: Optional[str] = None,
+    corpus: Optional[str] = None,
+    rooms_per_area: int = 8,
+    pts_per_room: int = 80_000,
+    patience: Optional[int] = None,
+    scale_kw: Optional[dict] = None,
 ) -> dict:
-    """Train + vote-test both sides on S3DIS Area-5; return the report."""
+    """Train + vote-test both sides on S3DIS Area-5; return the report.
+
+    ``corpus='rooms'`` runs the AT-SCALE harness on the structured
+    synthetic corpus (parity/synthetic.py): ≥1M raw points of real room
+    geometry with the 13-class S3DIS nomenclature, both arms trained to
+    early-stopped plateau (``patience``) with their best-val state
+    restored before the vote test — the committed ``parity_report.json``
+    evidence for the ±0.3 mIoU charter claim when real S3DIS data is not
+    mountable (VERDICT r4 next #5).  ``scale_kw`` overrides cfg fields
+    (sample_num, batch_size, train_samples_per_epoch, ...).
+    """
     from crfconv_tpu.data import datasets as D
     from crfconv_tpu.train.config import S3DISConfig
     from crfconv_tpu.train.trainer import Trainer
 
     if dry_run:
-        make_synthetic_raw(root)
+        if corpus == "rooms":
+            from crfconv_tpu.parity.synthetic import make_synthetic_rooms
+
+            make_synthetic_rooms(
+                root, rooms_per_area=2, pts_per_room=2000, seed=seed
+            )
+        else:
+            make_synthetic_raw(root)
         cfg = S3DISConfig(
             root=root, mode="train", use_crf=True, steps=1, grid_size=0.2,
             sample_num=128, batch_size=2, epochs=epochs or 1,
             train_samples_per_epoch=4, val_samples_per_epoch=2,
+            early_stop_patience=patience,
             checkpoint_dir=os.path.join(root, "ckpt"),
         )
         num_votes = min(num_votes, 2)
+    elif corpus == "rooms":
+        from crfconv_tpu.parity.synthetic import make_synthetic_rooms
+
+        if not os.path.isdir(os.path.join(root, "raw")):
+            n = make_synthetic_rooms(
+                root, rooms_per_area=rooms_per_area,
+                pts_per_room=pts_per_room, seed=seed,
+            )
+            log.info("generated synthetic room corpus: %d raw points", n)
+        cfg = S3DISConfig(
+            root=root, mode="train",
+            epochs=epochs or 60,
+            early_stop_patience=5 if patience is None else patience,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            **(scale_kw or {}),
+        )
     else:
         cfg = S3DISConfig(root=root, mode="train")
         if epochs is not None:
             cfg = dataclasses.replace(cfg, epochs=epochs)
+        if patience is not None:
+            cfg = dataclasses.replace(cfg, early_stop_patience=patience)
 
     def build_dataset():
         return D.S3DISRoomDataset(
@@ -204,6 +279,12 @@ def run_parity(
     log.info("parity: training the crfconv_tpu flagship ...")
     trainer = Trainer(cfg, dataset=build_dataset(), seed=seed)
     trainer.train()
+    if cfg.early_stop_patience is not None:
+        # plateau protocol: vote-test the best-val state (the torch arm
+        # restores its best state_dict symmetrically)
+        best = trainer.ckpt.best_path()
+        if best is not None:
+            trainer.load(best)
     jax_res = trainer.test_labeled(num_votes)
 
     # torch oracle side
@@ -227,6 +308,16 @@ def run_parity(
             "epochs": cfg.epochs, "sample_num": cfg.sample_num,
             "batch_size": cfg.batch_size, "grid_size": cfg.grid_size,
             "num_votes": num_votes, "dry_run": dry_run,
+            "corpus": corpus,
+            "early_stop_patience": cfg.early_stop_patience,
+            "neighbor_regime": cfg.neighbor_regime,
+            **(
+                {
+                    "rooms_per_area": rooms_per_area,
+                    "pts_per_room": pts_per_room,
+                }
+                if corpus == "rooms" else {}
+            ),
         },
     }
     print(json.dumps(

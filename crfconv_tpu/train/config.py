@@ -123,6 +123,11 @@ class Config:
     spatial_mesh: Optional[Tuple[int, int]] = None
     # compute dtype for model matmuls: 'float32' (parity) or 'bfloat16'
     compute_dtype: str = "float32"
+    # early stopping: stop training when val mIoU hasn't improved for
+    # this many epochs (None = train the full cfg.epochs, the reference
+    # behavior trainval.py:126-155).  Used by the at-scale parity run
+    # where both arms train to plateau rather than a fixed budget.
+    early_stop_patience: Optional[int] = None
     # eval-time microbatching: split each eval batch into chunks of this
     # size (0 = off).  Lets the full Semantic3D test config (16×65536,
     # reference configure.py:144,149) run on one chip whose HBM a flat

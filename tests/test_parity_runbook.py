@@ -23,3 +23,63 @@ def test_dry_run_end_to_end(tmp_path):
         assert np.isnan(v) or 0.0 <= v <= 1.0
     assert (tmp_path / "report.json").exists()
     assert isinstance(report["within_tolerance"], bool)
+
+
+@pytest.mark.slow
+def test_rooms_corpus_dry_run(tmp_path):
+    """Reduced-scale check of the at-scale harness (VERDICT r4 #5): the
+    structured room corpus generates, both arms train with the plateau
+    protocol (patience + best-state restore), and the report carries the
+    corpus provenance."""
+    from crfconv_tpu.parity import run_parity
+
+    report = run_parity(
+        str(tmp_path), dry_run=True, num_votes=2, seed=0, corpus="rooms",
+        patience=2, out=str(tmp_path / "report.json"),
+    )
+    assert report["config"]["corpus"] == "rooms"
+    assert report["config"]["early_stop_patience"] == 2
+    for side in ("jax_full_mIoU", "torch_full_mIoU"):
+        v = report[side]
+        assert np.isnan(v) or 0.0 <= v <= 1.0
+
+
+def test_synthetic_rooms_structure(tmp_path):
+    """The corpus generator emits the raw S3DIS layout with structured
+    geometry: 13-class nomenclature, structural classes dominating, and
+    z-stratified floor/ceiling."""
+    import glob
+    import os
+
+    from crfconv_tpu.data.datasets.s3dis import CLASS_NAMES, DATA_DIR
+    from crfconv_tpu.parity.synthetic import make_synthetic_rooms
+
+    total = make_synthetic_rooms(
+        str(tmp_path), rooms_per_area=2, pts_per_room=4000, seed=0
+    )
+    assert total >= 4 * 4000 * 0.99
+    files = glob.glob(
+        os.path.join(str(tmp_path), "raw", DATA_DIR, "Area_5", "*",
+                     "Annotations", "*.txt")
+    )
+    assert files
+    counts = {}
+    zs = {}
+    for f in files:
+        cls = os.path.basename(f).split("_")[0]
+        assert cls in CLASS_NAMES
+        pts = np.loadtxt(f)
+        counts[cls] = counts.get(cls, 0) + pts.shape[0]
+        zs.setdefault(cls, []).append(pts[:, 2])
+    # structural classes exist and dominate furniture-level rare classes
+    for cls in ("floor", "ceiling", "wall", "door", "table", "clutter"):
+        assert cls in counts, counts
+    assert counts["wall"] > counts["table"]
+    assert counts["floor"] > counts.get("sofa", 0)
+    # geometry: ceilings sit above floors
+    assert np.concatenate(zs["ceiling"]).mean() > (
+        np.concatenate(zs["floor"]).mean() + 1.5
+    )
+    # rgb range is valid
+    rgb = np.loadtxt(files[0])[:, 3:6]
+    assert rgb.min() >= 0 and rgb.max() <= 255
