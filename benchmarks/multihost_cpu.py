@@ -26,14 +26,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def worker(proc_id: int, nprocs: int, ndevs: int, steps: int, port: int):
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={ndevs}"
-        # 1-core host: don't let XLA's 40 s CPU-collective rendezvous
-        # abort fire when the scheduler starves a device thread
-        + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
-        + " --xla_cpu_collective_timeout_seconds=3600"
-    ).strip()
+    # 1-core host: don't let XLA's 40 s CPU-collective rendezvous abort
+    # fire when the scheduler starves a device thread.  Per-flag presence
+    # guards (as in conftest.py) so caller-supplied values win.
+    flags = os.environ.get("XLA_FLAGS", "")
+    for flag in (
+        f"--xla_force_host_platform_device_count={ndevs}",
+        "--xla_cpu_collective_call_terminate_timeout_seconds=3600",
+        "--xla_cpu_collective_timeout_seconds=3600",
+    ):
+        if flag.split("=")[0] not in flags:
+            flags = (flags + " " + flag).strip()
+    os.environ["XLA_FLAGS"] = flags
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -49,7 +49,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from crfconv_tpu.data.batch import PointBatch, RawBatch
+    from crfconv_tpu.data.batch import RawBatch
     from crfconv_tpu.models import PointConvResNet
     from crfconv_tpu.ops.neighbors import neighbor_mode
     from crfconv_tpu.ops.windowed import windowed_gather
@@ -175,7 +175,19 @@ def main():
             def full_step(carry):
                 st, key = carry
                 key, sub = jax.random.split(key)
-                st, _ = tstep(st, raw, sub)
+                st, m = tstep(st, raw, sub)
+                # fold the metrics into the carry so XLA can't dead-code
+                # -eliminate the confusion/loss computation the production
+                # step pays for (ADVICE r4); 1e-30 keeps the perturbation
+                # far below f32 resolution of any real parameter
+                bump = 1e-30 * (
+                    m["loss"] + m["confusion"].ravel()[0].astype(jnp.float32)
+                )
+                st = st.replace(
+                    params=jax.tree_util.tree_map(
+                        lambda a: a + bump.astype(a.dtype), st.params
+                    )
+                )
                 return (st, key)
 
             put(
