@@ -275,23 +275,50 @@ def run_parity(
             test_sample_per_epoch=cfg.val_samples_per_epoch,
         )
 
-    # JAX side (fresh dataset instance: sampler state starts identically)
-    log.info("parity: training the crfconv_tpu flagship ...")
-    trainer = Trainer(cfg, dataset=build_dataset(), seed=seed)
-    trainer.train()
-    if cfg.early_stop_patience is not None:
-        # plateau protocol: vote-test the best-val state (the torch arm
-        # restores its best state_dict symmetrically)
-        best = trainer.ckpt.best_path()
-        if best is not None:
-            trainer.load(best)
-    jax_res = trainer.test_labeled(num_votes)
+    # Arm selection: 'both' (default) runs sequentially; 'jax'/'torch'
+    # run one side and write its result to <root>/parity_<arm>.json so
+    # the two arms can run in separate processes (the torch-CPU arm is
+    # hours at scale; the JAX arm shares the TPU with other work), with
+    # a final 'combine' pass assembling the report.
+    arm = os.environ.get("CRFCONV_PARITY_ARM", "both")
 
-    # torch oracle side
-    log.info("parity: training the torch reference oracle ...")
-    torch_res = run_torch_reference(
-        cfg, build_dataset(), seed=seed, num_votes=num_votes
-    )
+    def _arm_path(name):
+        return os.path.join(root, f"parity_{name}.json")
+
+    jax_res = torch_res = None
+    if arm in ("both", "jax"):
+        # JAX side (fresh dataset: sampler state starts identically)
+        log.info("parity: training the crfconv_tpu flagship ...")
+        trainer = Trainer(cfg, dataset=build_dataset(), seed=seed)
+        trainer.train()
+        if cfg.early_stop_patience is not None:
+            # plateau protocol: vote-test the best-val state (the torch
+            # arm restores its best state_dict symmetrically)
+            best = trainer.ckpt.best_path()
+            if best is not None:
+                trainer.load(best)
+        jax_res = trainer.test_labeled(num_votes)
+        with open(_arm_path("jax"), "w") as f:
+            json.dump(jax_res, f)
+    if arm in ("both", "torch"):
+        log.info("parity: training the torch reference oracle ...")
+        torch_res = run_torch_reference(
+            cfg, build_dataset(), seed=seed, num_votes=num_votes
+        )
+        with open(_arm_path("torch"), "w") as f:
+            json.dump(torch_res, f)
+    if jax_res is None:
+        if not os.path.exists(_arm_path("jax")):
+            log.info("parity: torch arm done; jax arm pending")
+            return {"torch": torch_res, "pending": "jax"}
+        with open(_arm_path("jax")) as f:
+            jax_res = json.load(f)
+    if torch_res is None:
+        if not os.path.exists(_arm_path("torch")):
+            log.info("parity: jax arm done; torch arm pending")
+            return {"jax": jax_res, "pending": "torch"}
+        with open(_arm_path("torch")) as f:
+            torch_res = json.load(f)
 
     jm = jax_res.get("full_mIoU", float("nan"))
     tm = torch_res.get("full_mIoU", float("nan"))
