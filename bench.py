@@ -101,13 +101,13 @@ def measure_jax(mode: str = "windowed", views: int = 1) -> float:
 
         variables = init_all(pos, feats)
 
-        def one_view(p, sub, rot):
+        def one_view(p, sub, rot, vrs, fts):
             order, scales = build_pyramid_windowed(
                 p, key=sub, curve_rot=rot
             )
-            x = jnp.take_along_axis(feats, order[..., None], axis=1)
+            x = jnp.take_along_axis(fts, order[..., None], axis=1)
             out = model.apply(
-                variables, PointBatch(x=x, y=None, scales=scales),
+                vrs, PointBatch(x=x, y=None, scales=scales),
                 train=False,
             )
             if views == 1:
@@ -119,24 +119,42 @@ def measure_jax(mode: str = "windowed", views: int = 1) -> float:
                 probs, mode="promise_in_bounds"
             )
 
-        def step(carry):
+        # variables/feats ride through env as jit ARGUMENTS — closing
+        # over them embeds every param leaf as an MLIR constant, each
+        # paying a ~3.7 s device fetch at lowering time on the tunneled
+        # runtime (the real cause of r4's "40 min compile"; see
+        # utils/benchtools.py docstring)
+        def step(carry, env):
+            vrs, fts = env
             p, key = carry
             key, sub = jax.random.split(key)
             if mode == "windowed":
-                out = one_view(p, sub, None)
+                out = one_view(p, sub, None, vrs, fts)
                 for v in range(1, views):
-                    out = out + one_view(p, sub, view_rotation(v))
+                    out = out + one_view(
+                        p, sub, view_rotation(v), vrs, fts
+                    )
             else:
                 scales = build_pyramid_jax(p, key=sub)
                 out = model.apply(
-                    variables,
-                    PointBatch(x=feats, y=None, scales=scales),
+                    vrs,
+                    PointBatch(x=fts, y=None, scales=scales),
                     train=False,
                 )
             # carry a dependency so iterations cannot be elided
             return (p + 1e-9 * out[..., :3], key)
 
-        t = device_time(step, (pos, jax.random.PRNGKey(2)), iters=8)
+        if os.environ.get("CRFCONV_BENCH_PHASES"):
+            import time as _t
+
+            _t0 = _t.time()
+            jax.block_until_ready(variables)
+            print(f"# phase init done {_t.time()-_t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        t = device_time(
+            step, (pos, jax.random.PRNGKey(2)), iters=8,
+            env=(variables, feats),
+        )
     return BATCH * POINTS / t
 
 
@@ -185,13 +203,15 @@ def measure_train(mode: str = "windowed") -> float:
         state = create_train_state(model, example, tx, seed=0)
         tstep = make_train_step(model, windowed=windowed)
 
-        def step(carry):
+        def step(carry, env):
             st, key = carry
             key, sub = jax.random.split(key)
-            st, _ = tstep(st, batch, sub)
+            st, _ = tstep(st, env, sub)
             return (st, key)
 
-        t = device_time(step, (state, jax.random.PRNGKey(1)), iters=4)
+        t = device_time(
+            step, (state, jax.random.PRNGKey(1)), iters=4, env=batch
+        )
     return BATCH * POINTS / t
 
 

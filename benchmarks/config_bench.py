@@ -118,38 +118,45 @@ def measure_infer(key: str) -> float:
             b0, train=False,
         )
 
-        def fwd(pos_c, x_c, cat_c, key):
+        def fwd(vrs, pos_c, x_c, cat_c, key):
             out = model.apply(
-                variables, make_batch(pos_c, x_c, cat_c, key), train=False
+                vrs, make_batch(pos_c, x_c, cat_c, key), train=False
             )
             return out[-1] if isinstance(out, (tuple, list)) else out
 
-        def step(carry):
+        # variables/feats/category ride through env as jit arguments —
+        # closing over device arrays costs a per-leaf device fetch at
+        # lowering time (utils/benchtools.py docstring)
+        def step(carry, env):
+            vrs, fts, cat_e = env
             p, key = carry
             key, sub = jax.random.split(key)
             if nc > 1:
                 keys = jax.random.split(sub, nc)
                 cat = (
-                    jnp.zeros((nc, mb), jnp.int32) if category is None
-                    else category.reshape(nc, mb)
+                    jnp.zeros((nc, mb), jnp.int32) if cat_e is None
+                    else cat_e.reshape(nc, mb)
                 )
                 out = jax.lax.map(
-                    lambda a: fwd(a[0], a[1],
-                                  a[2] if category is not None else None,
+                    lambda a: fwd(vrs, a[0], a[1],
+                                  a[2] if cat_e is not None else None,
                                   a[3]),
                     (
                         p.reshape(nc, mb, N, 3),
-                        feats.reshape(nc, mb, N, -1),
+                        fts.reshape(nc, mb, N, -1),
                         cat,
                         keys,
                     ),
                 ).reshape(B, N, -1)
             else:
-                out = fwd(p, feats, category, sub)
+                out = fwd(vrs, p, fts, cat_e, sub)
             return (p + 1e-9 * out[..., :3], key)
 
         iters = 4 if N * B >= 16 * 65536 else 8
-        t = device_time(step, (pos, jax.random.PRNGKey(2)), iters=iters)
+        t = device_time(
+            step, (pos, jax.random.PRNGKey(2)), iters=iters,
+            env=(variables, feats, category),
+        )
     return B * N / t
 
 
@@ -191,13 +198,15 @@ def measure_train(key: str) -> float:
         state = create_train_state(model, example, tx, seed=0)
         tstep = make_train_step(model, windowed=True)
 
-        def step(carry):
+        def step(carry, env):
             st, key = carry
             key, sub = jax.random.split(key)
-            st, _ = tstep(st, raw, sub)
+            st, _ = tstep(st, env, sub)
             return (st, key)
 
-        t = device_time(step, (state, jax.random.PRNGKey(1)), iters=4)
+        t = device_time(
+            step, (state, jax.random.PRNGKey(1)), iters=4, env=raw
+        )
     return B * N / t
 
 

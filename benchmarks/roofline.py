@@ -53,27 +53,35 @@ def main():
             PointBatch(x=x0, y=None, scales=scales), train=False,
         )
 
-        def full(p, key):
+        def full(p, key, vrs, fts):
             order, scales = build_pyramid_windowed(p, key=key)
-            x = jnp.take_along_axis(feats, order[..., None], axis=1)
+            x = jnp.take_along_axis(fts, order[..., None], axis=1)
             return model.apply(
-                variables, PointBatch(x=x, y=None, scales=scales),
+                vrs, PointBatch(x=x, y=None, scales=scales),
                 train=False,
             )
 
-        compiled = jax.jit(full).lower(pos, jax.random.PRNGKey(2)).compile()
+        compiled = (
+            jax.jit(full)
+            .lower(pos, jax.random.PRNGKey(2), variables, feats)
+            .compile()
+        )
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", 0.0))
         bytes_ = float(ca.get("bytes accessed", 0.0))
 
-        def step(carry):
+        def step(carry, env):
+            vrs, fts = env
             p, key = carry
             key, sub = jax.random.split(key)
-            out = full(p, sub)
+            out = full(p, sub, vrs, fts)
             return (p + 1e-9 * out[..., :3], key)
 
-        t = device_time(step, (pos, jax.random.PRNGKey(2)), iters=8)
+        t = device_time(
+            step, (pos, jax.random.PRNGKey(2)), iters=8,
+            env=(variables, feats),
+        )
 
     out = {
         "metric": "windowed inference roofline (B8 N8192, XLA cost model)",

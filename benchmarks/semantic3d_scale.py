@@ -66,29 +66,28 @@ def measure(batch: int) -> float:
             b0, train=False,
         )
 
-        def chunk_apply(args):
-            pos_c, x_c, key = args
-            out = model.apply(
-                variables, forward(pos_c, x_c, key), train=False
-            )
-            return out
-
-        def step(carry):
+        def step(carry, env):
+            vrs, fts = env
             p, key = carry
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, nc)
             out = jax.lax.map(
-                chunk_apply,
+                lambda a: model.apply(
+                    vrs, forward(a[0], a[1], a[2]), train=False
+                ),
                 (
                     p.reshape(nc, micro, POINTS, 3),
-                    feats.reshape(nc, micro, POINTS, IN_CHANNELS),
+                    fts.reshape(nc, micro, POINTS, IN_CHANNELS),
                     keys,
                 ),
             )
             out = out.reshape(batch, POINTS, N_CLASSES)
             return (p + 1e-9 * out[..., :3], key)
 
-        t = device_time(step, (pos, jax.random.PRNGKey(2)), iters=4)
+        t = device_time(
+            step, (pos, jax.random.PRNGKey(2)), iters=4,
+            env=(variables, feats),
+        )
     return batch * POINTS / t, t
 
 

@@ -86,11 +86,17 @@ def main():
             state = create_train_state(model, example, tx, seed=0)
 
             # pyramid build only (carry: positions)
-            def pyr_step(carry):
+            # state/feats/labels ride through env as jit arguments —
+            # closed-over device arrays cost a per-leaf device fetch at
+            # lowering time (utils/benchtools.py)
+            env = (state, feats, labels)
+
+            def pyr_step(carry, env):
+                st, fts, lbl = env
                 p, key = carry
                 key, sub = jax.random.split(key)
                 b = build_windowed_batch(
-                    RawBatch(pos=p, x=feats, y=labels), sub
+                    RawBatch(pos=p, x=fts, y=lbl), sub
                 )
                 return (p + 1e-9 * b.scales[0].pos, key)
 
@@ -99,18 +105,19 @@ def main():
                     "pyramid+sort",
                     device_time(
                         pyr_step, (pos, jax.random.PRNGKey(1)),
-                        iters=args.iters,
+                        iters=args.iters, env=env,
                     ),
                 )
 
             # train-mode forward + loss (no grad)
-            def fwd_step(carry):
+            def fwd_step(carry, env):
+                st, fts, lbl = env
                 p, key = carry
                 key, pk, dk = jax.random.split(key, 3)
-                b = build_windowed_batch(RawBatch(pos=p, x=feats, y=labels), pk)
+                b = build_windowed_batch(RawBatch(pos=p, x=fts, y=lbl), pk)
                 out, _ = model.apply(
-                    {"params": state.params,
-                     "batch_stats": state.batch_stats},
+                    {"params": st.params,
+                     "batch_stats": st.batch_stats},
                     b, train=True, rngs={"dropout": dk},
                     mutable=["batch_stats"],
                 )
@@ -120,18 +127,20 @@ def main():
             put(
                 f"fwd-train{tag}",
                 device_time(
-                    fwd_step, (pos, jax.random.PRNGKey(2)), iters=args.iters
+                    fwd_step, (pos, jax.random.PRNGKey(2)),
+                    iters=args.iters, env=env,
                 ),
             )
 
             # eval-mode forward (fused kernels)
-            def eval_step(carry):
+            def eval_step(carry, env):
+                st, fts, lbl = env
                 p, key = carry
                 key, pk = jax.random.split(key)
-                b = build_windowed_batch(RawBatch(pos=p, x=feats, y=labels), pk)
+                b = build_windowed_batch(RawBatch(pos=p, x=fts, y=lbl), pk)
                 out = model.apply(
-                    {"params": state.params,
-                     "batch_stats": state.batch_stats},
+                    {"params": st.params,
+                     "batch_stats": st.batch_stats},
                     b, train=False,
                 )
                 return (p + 1e-9 * out[..., :3], key)
@@ -139,43 +148,46 @@ def main():
             put(
                 f"fwd-eval{tag}",
                 device_time(
-                    eval_step, (pos, jax.random.PRNGKey(3)), iters=args.iters
+                    eval_step, (pos, jax.random.PRNGKey(3)),
+                    iters=args.iters, env=env,
                 ),
             )
 
             # fwd + bwd (no optimizer)
-            def grad_step(carry):
+            def grad_step(carry, env):
+                st, fts, lbl = env
                 p, key = carry
                 key, pk, dk = jax.random.split(key, 3)
-                b = build_windowed_batch(RawBatch(pos=p, x=feats, y=labels), pk)
+                b = build_windowed_batch(RawBatch(pos=p, x=fts, y=lbl), pk)
 
                 def loss_fn(params):
                     out, upd = model.apply(
                         {"params": params,
-                         "batch_stats": state.batch_stats},
+                         "batch_stats": st.batch_stats},
                         b, train=True, rngs={"dropout": dk},
                         mutable=["batch_stats"],
                     )
                     return segmentation_loss(out, b.y, None, -1)
 
-                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                loss, grads = jax.value_and_grad(loss_fn)(st.params)
                 g0 = jax.tree_util.tree_leaves(grads)[0]
                 return (p + 1e-9 * loss + 0 * g0.ravel()[0], key)
 
             put(
                 f"fwd+bwd{tag}",
                 device_time(
-                    grad_step, (pos, jax.random.PRNGKey(4)), iters=args.iters
+                    grad_step, (pos, jax.random.PRNGKey(4)),
+                    iters=args.iters, env=env,
                 ),
             )
 
             # full train step
             tstep = make_train_step(model, windowed=True)
 
-            def full_step(carry):
+            def full_step(carry, env):
                 st, key = carry
                 key, sub = jax.random.split(key)
-                st, m = tstep(st, raw, sub)
+                st, m = tstep(st, env, sub)
                 # fold the metrics into the carry so XLA can't dead-code
                 # -eliminate the confusion/loss computation the production
                 # step pays for (ADVICE r4); 1e-30 keeps the perturbation
@@ -194,7 +206,7 @@ def main():
                 f"full-step{tag}",
                 device_time(
                     full_step, (state, jax.random.PRNGKey(5)),
-                    iters=args.iters,
+                    iters=args.iters, env=raw,
                 ),
             )
 
@@ -210,24 +222,25 @@ def main():
                 rng.random((BATCH, N, F), dtype=np.float32)
             )
 
-            def g_step(carry):
+            def g_step(carry, ix):
                 x, k = carry
-                g = windowed_gather(x, idx, mode_tile, mode_pad)
+                g = windowed_gather(x, ix, mode_tile, mode_pad)
                 return (x + 1e-9 * g[:, :, 0, :], k)
 
             put(
                 f"gather-fwd F={F}",
                 device_time(
-                    g_step, (xs, jax.random.PRNGKey(6)), iters=args.iters
+                    g_step, (xs, jax.random.PRNGKey(6)),
+                    iters=args.iters, env=idx,
                 ),
             )
 
-            def gb_step(carry):
+            def gb_step(carry, ix):
                 x, k = carry
 
                 def f(xx):
                     return jnp.sum(
-                        windowed_gather(xx, idx, mode_tile, mode_pad) ** 2
+                        windowed_gather(xx, ix, mode_tile, mode_pad) ** 2
                     )
 
                 gr = jax.grad(f)(x)
@@ -236,7 +249,8 @@ def main():
             put(
                 f"gather-fwd+bwd F={F}",
                 device_time(
-                    gb_step, (xs, jax.random.PRNGKey(7)), iters=args.iters
+                    gb_step, (xs, jax.random.PRNGKey(7)),
+                    iters=args.iters, env=idx,
                 ),
             )
 

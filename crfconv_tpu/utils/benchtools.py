@@ -13,11 +13,17 @@ execution completes, so sub-dispatch-latency measurements are fiction
   3. difference two trip counts, (t(2n) − t(n)) / n, which cancels the
      pipeline-fill and readback constants.
 
-Two modes: 'chain' (default — jit the bare step, dispatch it n times;
-compiles in seconds) and 'loop' (the r2-r4 fori_loop single-dispatch
-protocol; same numbers within noise, but XLA compile time of the big
-windowed step inside a fori_loop measured ~400× the bare step's — the
-root cause of round 4's rc=124 driver bench).
+Two modes: 'loop' (default — one fori_loop dispatch per timed call,
+dynamic trip count, single compile) and 'chain' (jit the bare step and
+dispatch it n times).  Loop is the default because the tunneled runtime
+shows SECONDS of per-dispatch latency (measured 3-15 s, varying with
+tunnel load): chain mode's ~70 dispatches turned a 90 s measurement
+into 18 minutes, while loop mode needs 7 dispatches total.  The r4
+lesson lives in ``env``: loop-invariant device arrays must be passed as
+jit arguments, never closed over (see below) — with closures the loop
+program's jaxpr→MLIR lowering embedded every model parameter as a
+constant at ~3.7 s per device fetch (cProfile r5: 99.6% of a 1340 s
+lowering), which was the real cause of round 4's rc=124 driver bench.
 
 ``device_time(step, init, iters)`` returns seconds per call.
 """
@@ -41,40 +47,60 @@ def _scalarize(tree: Any) -> jnp.ndarray:
 
 
 def device_time(
-    step: Callable[[Any], Any],
+    step: Callable[..., Any],
     init: Any,
     iters: int = 10,
     warmup: bool = True,
-    mode: str = "chain",
+    mode: str = "loop",
+    env: Any = None,
 ) -> float:
     """Seconds per call of ``step`` (a carry -> carry function).
 
-    mode='chain' (default): jit the bare step ONCE and dispatch it
-    iters / 2·iters times as a data-dependent chain, forcing completion
-    with a scalar readback of the final carry; the two trip counts are
-    differenced.  Dispatch overhead pipelines against device execution
-    exactly as in production serving, and the one-call constant
-    (readback + pipeline fill) cancels in the difference.  Chosen
-    because wrapping the full step in a fori_loop made XLA compile time
-    explode ~400× on the big windowed programs (measured r5: the
-    forward alone compiles in 6.5 s, the same forward inside a
-    fori_loop in tens of minutes — the rc=124 driver bench of r4,
-    VERDICT r4 weak #1/#5).
+    ``env`` (optional) is a pytree of loop-invariant operands (model
+    variables, input features, ...) passed to ``step(carry, env)`` as a
+    jit ARGUMENT.  Pass every device array the step needs through here
+    rather than closing over it: a closed-over jax.Array is embedded as
+    an MLIR constant at lowering time, and each embedding fetches the
+    array's value from the device — measured ~3.7 s PER ARRAY through
+    the tunneled runtime, ×~300 model parameter leaves ≈ 22 minutes of
+    "compile" for one benchmark program (r5 cProfile:
+    _array_mlir_constant_handler was 99.6% of a 1340 s lowering).
 
-    mode='loop': the r2-r4 protocol — one fori_loop dispatch (dynamic
-    trip count, single compile).  Kept for cross-checking: the two
-    protocols agree within noise (validated on the headline shape, r5).
+    mode='loop' (default): one fori_loop dispatch per timed call with a
+    dynamic trip count (single compile) — 7 dispatches total, which
+    matters because the tunneled runtime's per-dispatch latency is
+    seconds.  mode='chain': jit the bare step and dispatch it n times as
+    a data-dependent chain — kept for cross-checking (the two protocols
+    agree on the headline shape: 5.38M vs 5.27M pts/s, r5) and for
+    environments with normal dispatch latency.
     """
+    has_env = env is not None
+    call = (lambda c, e: step(c, e)) if has_env else (lambda c, e: step(c))
+
+    import os
+    import sys
+
+    debug = bool(os.environ.get("CRFCONV_TIME_DEBUG"))
+
+    def _dbg(msg, t0):
+        if debug:
+            print(
+                f"# device_time: {msg} {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr, flush=True,
+            )
+
     if mode == "loop":
         @jax.jit
-        def run_loop(carry, n):
+        def run_loop(carry, n, e):
             out = jax.lax.fori_loop(
-                0, n, lambda i, c: step(c), carry,
+                0, n, lambda i, c: call(c, e), carry,
             )
             return _scalarize(out)
 
         if warmup:
-            float(run_loop(init, 1))
+            t0 = time.perf_counter()
+            float(run_loop(init, 1, env))
+            _dbg("warmup (compile + 1 iter)", t0)
 
         def timed(n):
             # min-of-3: host-side dispatch jitter on a 1-core machine
@@ -82,8 +108,9 @@ def device_time(
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(run_loop(init, n))
+                float(run_loop(init, n, env))
                 best = min(best, time.perf_counter() - t0)
+                _dbg(f"dispatch n={n}", t0)
             return best
 
         t1 = timed(iters)
@@ -94,10 +121,10 @@ def device_time(
         # the dispatch-inclusive upper bound, not a fictitious zero
         return t2 / (2 * iters)
 
-    fn = jax.jit(step)
+    fn = jax.jit(call)
     readout = jax.jit(_scalarize)
     if warmup:
-        float(readout(fn(init)))
+        float(readout(fn(init, env)))
 
     def timed(n):
         best = float("inf")
@@ -105,7 +132,7 @@ def device_time(
             c = init
             t0 = time.perf_counter()
             for _ in range(n):
-                c = fn(c)
+                c = fn(c, env)
             float(readout(c))   # forces the whole chain to completion
             best = min(best, time.perf_counter() - t0)
         return best
