@@ -76,8 +76,10 @@ def main():
         results[name] = {"ms": round(ms, 2), "pts_per_sec": round(pps, 1)}
         print(f"{name:28s} {ms:8.2f} ms   {pps/1e6:6.2f} M pts/s", flush=True)
 
+    quick = bool(os.environ.get("CRFCONV_PROFILE_QUICK"))
     with neighbor_mode("windowed", knn_exact=False):
-        for use_crf, tag in ((True, ""), (False, "-nocrf")):
+        for use_crf, tag in (((True, ""),) if quick
+                             else ((True, ""), (False, "-nocrf"))):
             model = PointConvResNet(
                 n_classes=N_CLASSES, use_crf=use_crf, steps=1
             )
@@ -211,6 +213,18 @@ def main():
             )
 
         # scale-0 gather micro: F = 3 + hidden(8) at conv1, K=16
+        if quick:
+            out_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "train_profile.json",
+            )
+            with open(out_path, "w") as f:
+                json.dump(
+                    {"batch": BATCH, "points": N, "results": results},
+                    f, indent=1,
+                )
+            print(f"wrote {out_path}")
+            return
         mode_tile, mode_pad = 64, 128
         idx = np.clip(
             np.arange(N)[None, :, None] + rng.integers(-96, 96, (1, N, 16)),

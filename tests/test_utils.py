@@ -103,3 +103,42 @@ class TestHtmlViewer:
         assert "<script>" in html and "http" not in html.split("</title>")[1]
         assert html.count(",") > 3 * 500  # embedded coordinates
         assert "drawArrays" in html
+
+
+class TestDeviceTime:
+    """Both timing protocols, with and without the env pytree (the env
+    path is what keeps model parameters out of MLIR constants — the r5
+    lowering-catastrophe fix)."""
+
+    def test_loop_and_chain_agree(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from crfconv_tpu.utils import device_time
+
+        a = jnp.asarray(np.random.default_rng(0).random((256, 256), np.float32))
+
+        def step(c):
+            x, y = c
+            return (x @ y, y)
+
+        tl = device_time(step, (a, a), iters=8, mode="loop")
+        tc = device_time(step, (a, a), iters=8, mode="chain")
+        assert 0 < tl < 1 and 0 < tc < 1
+
+    def test_env_operand(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from crfconv_tpu.utils import device_time
+
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.random((128, 128), np.float32))
+        w = jnp.asarray(rng.random((128, 128), np.float32))
+
+        def step(c, env):
+            return c @ env
+
+        for mode in ("loop", "chain"):
+            t = device_time(step, a, iters=8, mode=mode, env=w)
+            assert 0 < t < 1
