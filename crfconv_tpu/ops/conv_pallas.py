@@ -47,6 +47,33 @@ FUSED_INTERPRET = False
 FUSED_MIN_ROWS = 4096
 
 
+def train_fused_eligible(train, sub_pos, extra, hidden, n_rows, k, mode) -> bool:
+    """Dispatch guard for the TRAIN-path fused contraction
+    (ops/windowed.py::weighted_gather_reduce): same-scale eval-ineligible
+    case where the weight MLP must stay in flax (train-mode batch
+    statistics) but the x-gather + K-reduction can still run fused.
+    Under a spatial (point-sharded) context the unfused funnel handles
+    halo routing, so this stays off there."""
+    if not train or sub_pos is not None or extra is not None:
+        return False
+    if mode["mode"] != "windowed" or hidden > FUSED_MAX_H:
+        return False
+    p = max(128 // mode["tile"], 1)
+    if k % p != 0 or n_rows < FUSED_MIN_ROWS:
+        return False
+    from crfconv_tpu.ops import spatial_state
+
+    if spatial_state.current() is not None:
+        return False
+    from crfconv_tpu.ops.windowed import WGR_INTERPRET
+
+    h8 = -(-hidden // 8) * 8
+    width2 = -(-(mode["tile"] + 2 * mode["pad"]) // 128) * 128 + 128
+    if 2 * h8 * width2 * 4 > 12 * 2**20:
+        return False
+    return WGR_INTERPRET or jax.default_backend() == "tpu"
+
+
 def fused_eligible(train, sub_pos, extra, hidden, n_rows, k, mode) -> bool:
     """Dispatch guard for models.PointConv: eval-mode, windowed regime,
     K divisible by the lane fold, armed width.  Covers the same-scale

@@ -359,3 +359,93 @@ def build_pyramid_windowed(
         )
         pos = sub_pos
     return order, tuple(scales)
+
+
+# ---------------------------------------------------------------------------
+# fused weighted gather-reduce: the train-path point-conv contraction
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def weighted_gather_reduce(
+    x: jnp.ndarray,
+    u: jnp.ndarray,
+    idx: jnp.ndarray,
+    tile: int = TILE,
+    pad: int = PAD,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """out_i = Σ_k u_ik ⊙ x_{idx_ik} — same-scale, window-consistent.
+
+    The differentiable building block that makes windowed TRAINING pay
+    fused-kernel prices (VERDICT r4 #3): the train-mode point conv keeps
+    its weight MLP + BatchNorm in flax (exact batch statistics + running
+    stat updates, identical param tree), and routes only the
+    neighbor-feature gather + K-contraction — the HBM-random-access part
+    — through one Pallas pass (ops/windowed_pallas.py::
+    windowed_weighted_reduce_pallas).  The forward also emits the
+    gathered neighbors as a (sequentially written) residual, so the
+    backward is pure elementwise/matmul XLA plus the existing fused
+    scatter kernel:
+
+        dx = scatter_idx(u ⊙ ḡ)     (windowed_gather's transpose kernel)
+        du = xg ⊙ ḡ
+
+    Args:
+      x:   [B, N, H] source features.
+      u:   [B, N, K, H] per-edge weights (e.g. the weight-MLP output).
+      idx: [B, N, K] indices into N, window-consistent.
+
+    Returns:
+      [B, N, H].
+    """
+    out, _ = _wgr_impl(x, u, idx, tile, pad, use_pallas)
+    return out
+
+
+# Test hook: route the weighted-reduce through the Pallas kernel in
+# interpret mode off-TPU (kernel parity tests).
+WGR_INTERPRET = False
+
+
+def _wgr_impl(x, u, idx, tile, pad, use_pallas):
+    B, N, H = x.shape
+    K = idx.shape[2]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    p = max(128 // tile, 1)
+    h8 = -(-H // 8) * 8
+    width2 = -(-(tile + 2 * pad) // 128) * 128 + 128
+    vmem_ok = 2 * h8 * width2 * 4 <= 12 * 2**20
+    if (
+        (use_pallas or WGR_INTERPRET)
+        and idx.shape[1] == N
+        and K % p == 0
+        and vmem_ok
+    ):
+        from crfconv_tpu.ops.windowed_pallas import (
+            windowed_weighted_reduce_pallas,
+        )
+
+        return windowed_weighted_reduce_pallas(
+            x, u, idx, tile, pad, interpret=WGR_INTERPRET
+        )
+    xg = _windowed_gather_impl(x, idx, tile, pad, use_pallas)
+    return jnp.einsum("bnkh,bnkh->bnh", u, xg), xg
+
+
+def _wgr_fwd(x, u, idx, tile, pad, use_pallas):
+    out, xg = _wgr_impl(x, u, idx, tile, pad, use_pallas)
+    return out, (u, xg, idx, x)
+
+
+def _wgr_bwd(tile, pad, use_pallas, res, g):
+    u, xg, idx, x = res
+    gb = g[:, :, None, :]
+    du = (xg * gb).astype(u.dtype)
+    dxg = (u * gb).astype(x.dtype)
+    dx, _ = _windowed_gather_bwd(tile, pad, use_pallas, (idx, x), dxg)
+    return (dx, du, None)
+
+
+weighted_gather_reduce.defvjp(_wgr_fwd, _wgr_bwd)

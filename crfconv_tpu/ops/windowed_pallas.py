@@ -763,3 +763,175 @@ def window_knn_pallas(
     )(starts_j, q4, xpT)
     idx = jnp.clip(idx.reshape(B, nt * tile, k)[:, :M], 0, n_src - 1)
     return idx.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# fused weighted gather-reduce (the train-path point-conv contraction)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_weighted_reduce(
+    starts_ref, rel_ref, u_ref, xpT_ref, out_ref, xg_ref, win_ref, sem,
+    *, width2, tile, k_cols, h8, nt, nb, p, nchunk,
+):
+    """out_i = Σ_k u_ik ⊙ x_{idx_ik}, with the gathered neighbors also
+    written out (xg) as the backward's residual.
+
+    The train-mode point conv cannot fold its BatchNorms (batch
+    statistics are data-dependent), so the weight MLP stays in XLA where
+    flax computes exact train-mode stats — but the expensive part of the
+    unfused body is NOT the MLP: it is gathering [B,N,K,H] neighbor
+    features from HBM and the K-contraction round trip.  This kernel
+    does both in VMEM: window DMA (transposed [h8, width] layout,
+    double-buffered across grid cells as in ops/conv_pallas.py), VPU
+    lane dynamic-gathers, multiply by the provided per-edge weights and
+    fold over K.  xg is a sequential (cheap) write that saves the
+    backward from re-gathering.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    g = b * nt + t
+    total = nb * nt
+
+    def win_dma(cell, slot):
+        bb = cell // nt
+        tt = jax.lax.rem(cell, nt)
+        s = pl.multiple_of(starts_ref[tt], 128)
+        return pltpu.make_async_copy(
+            xpT_ref.at[bb, :, pl.ds(s, width2)], win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        win_dma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+    win_dma(g, slot).wait()
+    win = win_ref[slot]                        # [h8, width2] f32
+    nwc = width2 // 128
+    rel = rel_ref[0, 0]                        # [nchunk, p*tile] int32
+    lanes = p * tile
+
+    acc = jnp.zeros((h8, lanes), jnp.float32)
+    for j in range(nchunk):
+        idxb = jnp.broadcast_to(rel[j : j + 1], (h8, lanes))
+        gth = jnp.zeros((h8, lanes), jnp.float32)
+        for c in range(nwc):
+            src = win[:, c * 128 : (c + 1) * 128]
+            loc = jnp.clip(idxb - c * 128, 0, 127)
+            gsel = jnp.take_along_axis(src, loc, axis=1)
+            m = (idxb >= c * 128) & (idxb < (c + 1) * 128)
+            gth = jnp.where(m, gsel, gth)
+        xg_ref[0, 0, j] = gth
+        acc = acc + u_ref[0, 0, j] * gth
+    outv = acc[:, :tile]
+    for q in range(1, p):
+        outv = outv + acc[:, q * tile : (q + 1) * tile]
+    out_ref[0, 0] = outv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "pad", "interpret")
+)
+def windowed_weighted_reduce_pallas(
+    x: jnp.ndarray,          # [B, N, H] source features
+    u: jnp.ndarray,          # [B, N, K, H] per-edge weights
+    idx: jnp.ndarray,        # [B, N, K] window-consistent indices
+    tile: int = 64,
+    pad: int = 128,
+    interpret: bool = False,
+):
+    """Same-scale fused Σ_k u·x_j; returns (out [B,N,H], xg [B,N,K,H])."""
+    from crfconv_tpu.ops.windowed import _pad_src, window_starts
+
+    B, N, H = x.shape
+    K = idx.shape[2]
+    starts, width, front = window_starts(N, N, tile, pad)
+    nt = starts.shape[0]
+    m_pad = nt * tile - N
+    h8 = -(-H // 8) * 8
+
+    s_al = (starts // 128) * 128
+    shift = starts - s_al
+    width2 = -(-(width + int(shift.max())) // 128) * 128
+
+    src = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (0, h8 - H)))
+    xpT = jnp.swapaxes(_pad_src(src, front, width2, s_al), 1, 2)
+
+    idx_p = jnp.pad(idx, ((0, 0), (0, m_pad), (0, 0)))
+    rel = (
+        idx_p.reshape(B, nt, tile, K)
+        + front
+        - jnp.asarray(s_al, jnp.int32)[None, :, None, None]
+    ).astype(jnp.int32)
+    rel = jnp.clip(rel, 0, width2 - 1)
+    p = max(128 // tile, 1)
+    nchunk = -(-K // p)
+    assert K % p == 0, "dispatcher must route K % p != 0 to the XLA path"
+    relk = jnp.swapaxes(rel, 2, 3)                   # [B, nt, K, tile]
+    rel_packed = relk.reshape(B, nt, nchunk, p * tile)
+
+    # u → the kernel's [B, nt, nchunk, h8, p*tile] lane layout
+    # (lane = q*tile + i, k = j*p + q)
+    up = jnp.pad(
+        u.astype(jnp.float32),
+        ((0, 0), (0, m_pad), (0, 0), (0, h8 - H)),
+    )
+    up = up.reshape(B, nt, tile, nchunk, p, h8)
+    up = jnp.transpose(up, (0, 1, 3, 5, 4, 2))       # [B,nt,nchunk,h8,p,tile]
+    u_packed = up.reshape(B, nt, nchunk, h8, p * tile)
+
+    out, xg = vma_pallas_call(
+        functools.partial(
+            _kernel_weighted_reduce, width2=width2, tile=tile,
+            k_cols=K, h8=h8, nt=nt, nb=B, p=p, nchunk=nchunk,
+        ),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, nchunk, p * tile), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, nchunk, h8, p * tile), lambda b, t: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),       # xpT in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, h8, tile), lambda b, t: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, nchunk, h8, p * tile), lambda b, t: (b, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nt, h8, tile), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (B, nt, nchunk, h8, p * tile), jnp.float32
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, h8, width2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(s_al, jnp.int32), rel_packed, u_packed, xpT)
+
+    out = jnp.swapaxes(out, 2, 3).reshape(B, nt * tile, h8)
+    out = out[:, :N, :H].astype(x.dtype)
+    # xg back to [B, N, K, H]
+    xg = xg.reshape(B, nt, nchunk, h8, p, tile)
+    xg = jnp.transpose(xg, (0, 1, 5, 2, 4, 3))       # [B,nt,tile,nchunk,p,h8]
+    xg = xg.reshape(B, nt * tile, nchunk * p, h8)[:, :N, :K, :H]
+    return out, xg.astype(x.dtype)
