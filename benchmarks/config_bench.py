@@ -49,10 +49,13 @@ BASELINE_CONFIG_CACHE = os.path.join(
 
 # (model_name, batch, points, in_channels, n_classes, steps, micro)
 CONFIG_SHAPES = {
-    "shapenet-partseg": ("CRFSegNet_Part", 16, 2048, 6, 50, 10, 0),
+    # micro (last field) also caps the TRAIN row's batch: the steps=10
+    # scan-CRF backward at B16 exceeds one chip's HBM (34 G measured r5)
+    # — the reference trains crops anyway, so train measures at B8
+    "shapenet-partseg": ("CRFSegNet_Part", 16, 2048, 6, 50, 10, 8),
     "semantic3d": ("PointConvBig", 16, 65536, 6, 8, 1, 8),
-    "scannet-crf": ("CRFSegNet", 16, 8192, 6, 20, 10, 0),
-    "scannet-discrete": ("BaselineDiscreteCRFSegNet", 16, 8192, 6, 20, 10, 0),
+    "scannet-crf": ("CRFSegNet", 16, 8192, 6, 20, 10, 8),
+    "scannet-discrete": ("BaselineDiscreteCRFSegNet", 16, 8192, 6, 20, 10, 8),
     "semantickitti": ("PointConvBig", 8, 65536, 4, 19, 1, 0),
 }
 
@@ -162,6 +165,13 @@ def measure_infer(key: str) -> float:
 
 def measure_train(key: str) -> float:
     """points/sec for the full windowed train step, one chip."""
+    import os as _os
+
+    # steps=10 small-family TRAIN programs hit a Mosaic scoped-vmem
+    # stack overflow in the fused-CRF backward (helper HTTP 500, r5);
+    # measure those rows on the scan-CRF path (see ops/crf.py kill
+    # switch).  steps=1 rows never engage the fused CRF anyway.
+    _os.environ["CRFCONV_CRF_FUSED"] = "0"
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -207,6 +217,7 @@ def measure_train(key: str) -> float:
         t = device_time(
             step, (state, jax.random.PRNGKey(1)), iters=4, env=raw
         )
+    _os.environ.pop("CRFCONV_CRF_FUSED", None)
     return B * N / t
 
 
@@ -444,7 +455,7 @@ def torch_baselines(keys, refresh=False) -> dict:
                                   max_iters=iters), 1
                 )
             except Exception as e:  # record the failure, don't die
-                cache[ck] = f"failed: {e!r}"
+                cache[ck] = f"failed: {e!r:.200}"
             dirty = True
     if dirty:
         with open(BASELINE_CONFIG_CACHE, "w") as f:
@@ -464,14 +475,14 @@ def measure_all(keys=None) -> dict:
             print(f"# {key}: {v:,.0f} pts/s infer", file=sys.stderr,
                   flush=True)
         except Exception as e:
-            row["pts_per_sec"] = f"failed: {e!r}"
+            row["pts_per_sec"] = f"failed: {e!r:.200}"
         try:
             v = measure_train(key)
             row["train_pts_per_sec"] = round(v, 1)
             print(f"# {key}: {v:,.0f} pts/s train", file=sys.stderr,
                   flush=True)
         except Exception as e:
-            row["train_pts_per_sec"] = f"failed: {e!r}"
+            row["train_pts_per_sec"] = f"failed: {e!r:.200}"
         for kind, col in (("fwd", "torch_cpu_fwd"),
                           ("train", "torch_cpu_train")):
             row[col] = base.get(f"{key}:{kind}")

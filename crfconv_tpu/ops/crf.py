@@ -162,13 +162,27 @@ def _fused_vmem_bytes(n: int, h: int, tile: int, pad: int) -> int:
     return 3 * hp * npad * 4 + 4 * w * 128 * 2 + hp * hp * 4
 
 
-def _fused_ok(n: int, h: int, steps: int, mode: dict) -> bool:
+def _fused_ok(
+    n: int, h: int, steps: int, mode: dict, b: int = 1
+) -> bool:
+    import os
+
     """Dispatch guard for the fused Pallas CRF kernels: windowed mode on
     TPU, ≥2 steps (one step has no HBM round-trip to save), a pyramid
     tile the 128-row kernel tiles can cover exactly (ADVICE r2: tiles
     straddling kernel tiles silently corrupt the banded indices), and a
     VMEM budget check (ADVICE r2: Mosaic would otherwise fail at compile
     time instead of falling back to the scan)."""
+    # Kill switch (known issue, r5): the small-family steps=10 TRAIN
+    # programs (CRFSegNet/CRFSegNet_Part shapes) die in the remote
+    # Mosaic compile with a scoped-vmem STACK overflow that the
+    # resident-buffer model below cannot see, while the same models'
+    # INFERENCE programs compile and run fused.  Until the stack model
+    # is understood, CRFCONV_CRF_FUSED=0 routes the whole CRF to the
+    # (differentiable, parity-tested) scan path; benchmarks set it for
+    # exactly those train rows.
+    if os.environ.get("CRFCONV_CRF_FUSED") == "0":
+        return False
     return (
         steps >= 2
         and mode["mode"] == "windowed"
@@ -235,7 +249,9 @@ def crf_mean_field(
         )
 
     mode = get_neighbor_mode()
-    if allow_fused and _fused_ok(z.shape[1], z.shape[2], steps, mode):
+    if allow_fused and _fused_ok(
+        z.shape[1], z.shape[2], steps, mode, z.shape[0]
+    ):
         # the fused core re-derives every message from the banded A
         # built out of s; a precomputed msg0 is unused there
         return _crf_fused(
