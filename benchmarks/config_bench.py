@@ -163,6 +163,12 @@ def measure_infer(key: str) -> float:
     return B * N / t
 
 
+# per-row TRAIN batch caps tighter than the infer microbatch: the
+# discrete steps=10 train at B8 OOMs HBM by 192M (lane-padded gather rel
+# operands, r5 debug); B4 fits
+TRAIN_MICRO = {"scannet-discrete": 4}
+
+
 def measure_train(key: str) -> float:
     """points/sec for the full windowed train step, one chip."""
     import os as _os
@@ -189,6 +195,7 @@ def measure_train(key: str) -> float:
     model_name, B, N, C_in, n_cls, steps, micro = CONFIG_SHAPES[key]
     # train at the largest per-chip slice that fits (the full Semantic3D
     # B16 x 65536 train step exceeds one v5e HBM; reference trains crops)
+    micro = TRAIN_MICRO.get(key, micro)
     if micro and B > micro:
         B = micro
     rng = np.random.default_rng(0)
