@@ -397,7 +397,9 @@ def main():
             )
             from config_bench import measure_all
 
-            configs = measure_all()
+            configs = measure_all(
+                deadline=time.monotonic() + remaining()
+            )
         except Exception as e:
             print(f"# config rows failed: {e!r}", file=sys.stderr)
     extras = {

@@ -470,12 +470,22 @@ def torch_baselines(keys, refresh=False) -> dict:
     return cache
 
 
-def measure_all(keys=None) -> dict:
+def measure_all(keys=None, deadline=None) -> dict:
+    """``deadline``: optional time.monotonic() value after which no NEW
+    row is started (rows in flight finish; bench.py passes its budget so
+    the whole artifact stays inside the driver's wall clock — skipped
+    rows are recorded explicitly, never silently dropped)."""
+    import time as _time
+
     keys = list(keys or CONFIG_SHAPES)
     base = torch_baselines(keys)
     rows = {}
     for key in keys:
         row = {}
+        if deadline is not None and _time.monotonic() > deadline:
+            rows[key] = {"skipped": "budget exhausted"}
+            print(f"# {key}: skipped (budget)", file=sys.stderr, flush=True)
+            continue
         try:
             v = measure_infer(key)
             row["pts_per_sec"] = round(v, 1)
