@@ -30,8 +30,10 @@ import os
 import sys
 import time
 
-# persistent compile cache: the windowed program costs 20-40 min to
-# compile cold through the remote helper; cached it loads in seconds
+# persistent compile cache: the windowed loop program costs ~8-12 min
+# to compile cold through the remote helper; cached it loads in ~1 s
+# (lowering itself is ~3 s since the env-argument fix — see
+# utils/benchtools.py)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/crfconv_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

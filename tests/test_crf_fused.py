@@ -401,3 +401,21 @@ class TestDiscreteNativeBwd:
         b = np.asarray(jax.grad(loss_core)(p))
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
         assert rel < 2e-5, rel
+
+
+def test_fused_kill_switch(monkeypatch):
+    """CRFCONV_CRF_FUSED=0 must force the scan path regardless of shape
+    (the r5 mitigation for the small-family steps=10 train programs'
+    Mosaic scoped-vmem stack overflow)."""
+    import os
+
+    from crfconv_tpu.ops.crf import _fused_ok
+
+    mode = {"mode": "windowed", "tile": 64, "pad": 128}
+    monkeypatch.setenv("CRFCONV_CRF_FUSED", "0")
+    assert not _fused_ok(8192, 16, 10, mode, 8)
+    monkeypatch.delenv("CRFCONV_CRF_FUSED")
+    # without the switch the guard's own rules decide (TPU-only here,
+    # so on the CPU test host it still returns False via the backend
+    # check — the assertion is that the switch short-circuits first)
+    assert isinstance(_fused_ok(8192, 16, 10, mode, 8), bool)
